@@ -1,0 +1,12 @@
+from .config import Config, load_config, main
+from .paths import get_repo_root, resolve_data_path
+from . import metrics
+
+__all__ = [
+    "Config",
+    "load_config",
+    "main",
+    "get_repo_root",
+    "resolve_data_path",
+    "metrics",
+]
