@@ -1,0 +1,266 @@
+"""Flax score networks (NHWC, TPU-native).
+
+Re-design of the reference PyTorch models (reference:
+src/diffusion_pde/models/nets.py) as flax.linen modules:
+
+  * :class:`EDMUNet` — the "unet-v2" EDM-style UNet (<10M params at the
+    reference hyperparameters; nets.py:217-341). Structure is preserved:
+    sigma positional embedding -> 2-layer SiLU MLP to emb_dim, optional
+    label embedding added; encoder = initial 3x3 conv then per-mult
+    [down-ResBlock + num_res_blocks ResBlocks]; two mid ResBlocks at the
+    deepest level; decoder mirrors with explicit skip-consuming blocks
+    (the reference triggers concatenation by channel-count sniffing,
+    nets.py:333-334 — here the skip structure is explicit); final
+    GroupNorm + zero-init 3x3 conv. No attention, matching the reference.
+  * :class:`SmallUnet` — the "unet-small" course model (nets.py:44-130).
+
+TPU-first deviations (documented, capacity-neutral):
+  * layout is NHWC (batch, H, W, C) so convs hit the MXU without layout
+    transposes; callers converting reference NCHW data transpose at the IO
+    boundary;
+  * the up-ResBlock skip path uses nearest-neighbour x2 upsample + 1x1
+    conv instead of the reference's stride-2 1x1 ConvTranspose
+    (nets.py:144, which zero-stuffs odd pixels) — same parameter count,
+    better-conditioned interpolation;
+  * weight init: flax's lecun_normal equals torch's kaiming_normal
+    fan_in/linear-gain used by the reference (nets.py:6-26); zero-init
+    output convs are kept zero-init.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PositionalEmbedding(nn.Module):
+    """Sin/cos embedding of the (scalar) noise level (nets.py:29-42)."""
+
+    num_channels: int
+    max_positions: int = 10000
+    endpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        half = self.num_channels // 2
+        freqs = jnp.arange(half, dtype=jnp.float32)
+        freqs = freqs / (half - (1 if self.endpoint else 0))
+        freqs = (1.0 / self.max_positions) ** freqs
+        ang = x[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=1)
+
+
+def _gn_groups(ch: int) -> int:
+    """GroupNorm(32) when divisible, per-channel otherwise (nets.py:172-173)."""
+    return 32 if ch >= 32 and ch % 32 == 0 else ch
+
+
+class _ReflectConv(nn.Module):
+    """Conv with explicit reflect padding then VALID conv — exactly the
+    reference's pad(reflect) + Conv2d semantics incl. the stride-2 case
+    (nets.py:133-150)."""
+
+    features: int
+    kernel: int
+    down: bool = False
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel - 1) // 2
+        if pad > 0:
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode="reflect")
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(2, 2) if self.down else (1, 1),
+            padding="VALID",
+            kernel_init=nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            bias_init=nn.initializers.zeros,
+            name="conv",
+        )(x)
+
+
+def _conv(features: int, kernel: int, *, down: bool = False,
+          zero_init: bool = False, name: str | None = None) -> _ReflectConv:
+    return _ReflectConv(features, kernel, down=down, zero_init=zero_init,
+                        name=name)
+
+
+def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+
+
+class ResBlock(nn.Module):
+    """EDM-style residual block (nets.py:153-211):
+    GN -> SiLU -> conv (stride/upsample variants) -> +emb -> GN -> SiLU ->
+    dropout -> zero-init conv -> +skip, all scaled by 1/sqrt(2)."""
+
+    out_ch: int
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.0
+    skip_scale: float = 2 ** -0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, *,
+                 train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        orig = x
+        h = nn.silu(nn.GroupNorm(num_groups=_gn_groups(in_ch),
+                                 epsilon=1e-5, name="norm1")(x))
+        if self.up:
+            h = nn.ConvTranspose(self.out_ch, (3, 3), strides=(2, 2),
+                                 padding="SAME",
+                                 kernel_init=nn.initializers.lecun_normal(),
+                                 name="conv1")(h)
+        elif self.down:
+            h = _conv(self.out_ch, 3, down=True, name="conv1")(h)
+        else:
+            h = _conv(self.out_ch, 3, name="conv1")(h)
+
+        e = nn.Dense(self.out_ch, name="emb_layer")(emb)
+        h = h + e[:, None, None, :]
+
+        h = nn.silu(nn.GroupNorm(num_groups=_gn_groups(self.out_ch),
+                                 epsilon=1e-5, name="norm2")(h))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = _conv(self.out_ch, 3, zero_init=True, name="conv2")(h)
+
+        if in_ch != self.out_ch or self.up or self.down:
+            if self.up:
+                orig = _conv(self.out_ch, 1, name="skip")(_upsample2(orig))
+            elif self.down:
+                orig = _conv(self.out_ch, 1, down=True, name="skip")(orig)
+            else:
+                orig = _conv(self.out_ch, 1, name="skip")(orig)
+        return (h + orig) * self.skip_scale
+
+
+class EDMUNet(nn.Module):
+    """The "unet-v2" model (nets.py:217-341). Input NHWC."""
+
+    img_channels: int
+    obs_channels: int = 0
+    label_dim: int = 0
+    base_channels: int = 64
+    channel_mults: Sequence[int] = (1, 2, 2)
+    num_res_blocks: int = 2
+    dropout: float = 0.0
+    sigma_emb_dim: int = 64
+    emb_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, sigma: jnp.ndarray,
+                 labels: jnp.ndarray | None = None,
+                 obs: jnp.ndarray | None = None, *,
+                 train: bool = False) -> jnp.ndarray:
+        if obs is not None and self.obs_channels > 0:
+            assert obs.shape[-1] == self.obs_channels, (
+                f"expected obs with {self.obs_channels} channels, "
+                f"got {obs.shape[-1]}")
+            x = jnp.concatenate([x, obs], axis=-1)
+
+        emb = PositionalEmbedding(self.sigma_emb_dim,
+                                  name="sigma_embed")(sigma)
+        emb = nn.Dense(self.emb_dim, name="time_mlp_0")(emb)
+        emb = nn.Dense(self.emb_dim, name="time_mlp_1")(nn.silu(emb))
+        if self.label_dim > 0 and labels is not None:
+            emb = emb + nn.Dense(self.emb_dim, name="label_embed")(labels)
+
+        mults = tuple(self.channel_mults)
+        nrb = self.num_res_blocks
+
+        # ---------------- encoder ----------------
+        skips = []
+        for i, mult in enumerate(mults):
+            out_ch = self.base_channels * mult
+            if i == 0:
+                x = _conv(out_ch, 3, name="enc_in")(x)
+            else:
+                x = ResBlock(out_ch, down=True, dropout=self.dropout,
+                             name=f"enc_{i}_down")(x, emb, train=train)
+            skips.append(x)
+            for j in range(nrb):
+                x = ResBlock(out_ch, dropout=self.dropout,
+                             name=f"enc_{i}_res{j}")(x, emb, train=train)
+                skips.append(x)
+
+        # ---------------- decoder ----------------
+        for i in reversed(range(len(mults))):
+            out_ch = self.base_channels * mults[i]
+            if i == len(mults) - 1:
+                x = ResBlock(out_ch, dropout=self.dropout,
+                             name=f"dec_{i}_mid0")(x, emb, train=train)
+                x = ResBlock(out_ch, dropout=self.dropout,
+                             name=f"dec_{i}_mid1")(x, emb, train=train)
+            else:
+                x = ResBlock(x.shape[-1], up=True, dropout=self.dropout,
+                             name=f"dec_{i}_up")(x, emb, train=train)
+            for j in range(nrb + 1):
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = ResBlock(out_ch, dropout=self.dropout,
+                             name=f"dec_{i}_res{j}")(x, emb, train=train)
+        assert not skips
+
+        x = nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]), epsilon=1e-5,
+                         name="final_norm")(x)
+        return _conv(self.img_channels, 3, zero_init=True,
+                     name="final_conv")(x)
+
+
+class SmallUnet(nn.Module):
+    """The "unet-small" course model (nets.py:44-130): plain conv encoder
+    with MaxPool downs, ConvTranspose ups, per-level embedding adds."""
+
+    chs: Sequence[int]          # (ch_1, ..., ch_n) — excludes input channels
+    label_dim: int = 0
+    noise_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, sigma: jnp.ndarray,
+                 labels: jnp.ndarray | None = None,
+                 obs: jnp.ndarray | None = None, *,
+                 train: bool = False) -> jnp.ndarray:
+        del obs  # unet-small takes no obs input (utils.py:45-47)
+        in_ch = x.shape[-1]
+        chs = tuple(self.chs)
+        n = len(chs)
+
+        emb = PositionalEmbedding(self.noise_ch, name="sigma_embedding")(sigma)
+        if self.label_dim > 0 and labels is not None:
+            emb = emb + nn.Dense(self.noise_ch, name="linear_label")(labels)
+        embs = [nn.Dense(c, name=f"linear_embed_{i}")(emb)
+                for i, c in enumerate(chs)]
+
+        signal = x
+        saved = []
+        for i, c in enumerate(chs):
+            if i != 0:
+                signal = nn.max_pool(signal, (2, 2), strides=(2, 2))
+            signal = nn.silu(_conv(c, 3, name=f"down_{i}")(signal))
+            signal = signal + embs[i][:, None, None, :]
+            if i < n - 1:
+                saved.append(signal)
+
+        for k, i in enumerate(range(n - 1, 0, -1)):
+            if k > 0:
+                signal = jnp.concatenate([signal, saved[-k]], axis=-1)
+            tgt = chs[i - 1] if i > 1 else chs[0]
+            signal = nn.silu(nn.ConvTranspose(
+                tgt, (3, 3), strides=(2, 2), padding="SAME",
+                name=f"up_{k}")(signal))
+            if k < n - 2:
+                signal = signal + embs[i - 1][:, None, None, :]
+        # final level: cat last skip, 1x stride transpose-ish conv + out conv
+        signal = jnp.concatenate([signal, saved[0]], axis=-1) \
+            if saved else signal
+        signal = nn.silu(_conv(chs[0], 3, name="up_final")(signal))
+        return _conv(in_ch, 3, name="out_conv")(signal)
