@@ -1,0 +1,307 @@
+"""EDM samplers as fully-jitted lax.scan loops.
+
+TPU re-design of the reference samplers (reference:
+src/diffusion_pde/sampling/sample.py:145-363). The reference runs a Python
+loop with per-step host sync (``losses[i] = ...item()``, sample.py:357) and
+takes guidance gradients with torch.autograd through 3-forward finite
+differences; here each sampler compiles ONCE into a single XLA program:
+
+  * Heun (2nd order) steps over a host-computed float64 Karras grid
+    (device state fp32 — SURVEY.md section 7 numerics note);
+  * guidance = jax.grad of a step-local closure that contains the full
+    Heun step, so the gradient flows through both denoiser evaluations
+    exactly like the reference's autograd through the step
+    (sample.py:353-355);
+  * the time derivative uses jvp (2 fwd-equivalents vs 3 fwd for FD) and
+    is stop-gradient, matching the reference's no_grad FD evaluations;
+  * per-step losses are scan outputs — zero host syncs inside the loop.
+
+Throughput: multiple test items can be flattened into one batch. The
+reference's guidance losses sum over the whole batch before the gradient
+(sample.py:340-347), so per-sample gradients are independent and batching
+items is mathematically identical (loss traces become batch-sums).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.deriv import net_and_dnet_dt
+from .karras import karras_sigmas
+from .pde_losses import _safe_sqrt_sum
+
+
+@dataclass
+class UnconditionalSampler:
+    """Plain EDM Heun sampler (reference UnconditionalSampler,
+    sample.py:145-239)."""
+
+    net: Callable
+    sample_shape: tuple[int, int]
+    num_channels: int
+    num_samples: int
+    num_steps: int = 18
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+
+    def __post_init__(self):
+        self._jit = jax.jit(self._sample,
+                            static_argnames=("num_steps", "have_labels",
+                                             "have_obs"))
+
+    def sample(self, key, labels=None, net_obs=None, num_steps=None):
+        num_steps = num_steps or self.num_steps
+        sigmas = jnp.asarray(
+            karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
+                          self.rho), dtype=jnp.float32)
+        return self._jit(key, sigmas, labels, net_obs,
+                         num_steps=num_steps,
+                         have_labels=labels is not None,
+                         have_obs=net_obs is not None)
+
+    def _sample(self, key, sigmas, labels, net_obs, *, num_steps,
+                have_labels, have_obs):
+        b = labels.shape[0] if have_labels else self.num_samples
+        h, w = self.sample_shape
+        latents = jax.random.normal(key, (b, h, w, self.num_channels))
+        x0 = latents * sigmas[0]
+
+        def dx(x, sigma):
+            s = jnp.full((b,), sigma, dtype=jnp.float32)
+            x_n = self.net(x, s, labels if have_labels else None,
+                           net_obs if have_obs else None)
+            return (x - x_n) / sigma
+
+        def step(x_cur, inp):
+            sigma_cur, sigma_next = inp
+            d_cur = dx(x_cur, sigma_cur)
+            x_eul = x_cur + (sigma_next - sigma_cur) * d_cur
+
+            def heun(_):
+                d_prime = dx(x_eul, sigma_next)
+                return x_cur + (sigma_next - sigma_cur) * 0.5 * (
+                    d_cur + d_prime)
+
+            x_next = jax.lax.cond(sigma_next > 0, heun,
+                                  lambda _: x_eul, None)
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x0, (sigmas[:-1], sigmas[1:]))
+        return x
+
+
+@dataclass
+class JointSampler:
+    """Guided (DPS-style) sampler for joint models (reference JointSampler,
+    sample.py:243-363): per step, observation losses on the denoised
+    estimate plus a PDE residual loss, combined with the zeta schedule
+    (full weights for the first 80% of steps, obs-weights x0.1 after,
+    sample.py:348-351), gradient w.r.t. the step input subtracted from the
+    Heun output.
+
+    ``loss_fn(u_N, dudt, labels, **loss_kwargs) -> scalar`` is the PDE
+    guidance (sampling.pde_losses). ``out_and_grad_fn(net, x, sigma,
+    labels) -> (x_N, dxdt)`` supplies the denoised estimate and its time
+    derivative (ops.deriv; default jvp).
+    """
+
+    net: Callable
+    sample_shape: tuple[int, int]
+    num_channels: int
+    num_samples: int
+    ch_a: int
+    loss_fn: Callable
+    loss_kwargs: dict
+    num_steps: int = 18
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    out_and_grad_fn: Callable = net_and_dnet_dt
+
+    def __post_init__(self):
+        self._jit = jax.jit(
+            self._sample,
+            static_argnames=("num_steps", "have_labels"))
+
+    def sample(self, key, labels, obs_a, obs_u, mask_a, mask_u,
+               zeta_a, zeta_u, zeta_pde, return_losses=False,
+               num_steps=None):
+        """obs_a: (B|1, H, W, ch_a); obs_u: (B|1, H, W, C-ch_a);
+        masks: (H, W) booleans. Returns (x, losses[num_steps, 4] | None)."""
+        num_steps = num_steps or self.num_steps
+        sigmas = jnp.asarray(
+            karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
+                          self.rho), dtype=jnp.float32)
+        x, losses = self._jit(
+            key, sigmas,
+            labels,
+            jnp.asarray(obs_a, jnp.float32),
+            jnp.asarray(obs_u, jnp.float32),
+            jnp.asarray(mask_a, jnp.float32),
+            jnp.asarray(mask_u, jnp.float32),
+            jnp.asarray(zeta_a, jnp.float32),
+            jnp.asarray(zeta_u, jnp.float32),
+            jnp.asarray(zeta_pde, jnp.float32),
+            num_steps=num_steps,
+            have_labels=labels is not None,
+        )
+        return x, (np.asarray(losses) if return_losses else None)
+
+    def _sample(self, key, sigmas, labels, obs_a, obs_u, mask_a, mask_u,
+                zeta_a, zeta_u, zeta_pde, *, num_steps, have_labels):
+        b = labels.shape[0] if have_labels else self.num_samples
+        h, w = self.sample_shape
+        ch_a = self.ch_a
+        mask_a3 = mask_a[..., None]       # (H, W, 1) -> broadcast channels
+        mask_u3 = mask_u[..., None]
+        lbl = labels if have_labels else None
+
+        latents = jax.random.normal(key, (b, h, w, self.num_channels))
+        x0 = latents * sigmas[0]
+
+        def eval_net(x, sigma):
+            s = jnp.full((b,), sigma, dtype=jnp.float32)
+            return self.out_and_grad_fn(self.net, x, s, lbl)
+
+        def step(x_carry, inp):
+            i, sigma_cur, sigma_next = inp
+
+            def step_loss(x_cur):
+                x_n, dxdt = eval_net(x_cur, sigma_cur)
+                d_cur = (x_cur - x_n) / sigma_cur
+                x_eul = x_cur + (sigma_next - sigma_cur) * d_cur
+
+                def heun(_):
+                    x_n2, dxdt2 = eval_net(x_eul, sigma_next)
+                    d_prime = (x_eul - x_n2) / sigma_next
+                    x_h = x_cur + (sigma_next - sigma_cur) * 0.5 * (
+                        d_cur + d_prime)
+                    return x_h, x_n2, dxdt2
+
+                x_next, x_nf, dxdtf = jax.lax.cond(
+                    sigma_next > 0, heun,
+                    lambda _: (x_eul, x_n, dxdt), None)
+
+                # losses on the (final-eval) denoised estimate
+                loss_u = _safe_sqrt_sum(
+                    (mask_u3 * (x_nf[..., ch_a:] - obs_u)) ** 2)
+                loss_a = _safe_sqrt_sum(
+                    (mask_a3 * (x_nf[..., :ch_a] - obs_a)) ** 2)
+                loss_pde = self.loss_fn(x_nf[..., ch_a:],
+                                        dxdtf[..., ch_a:], lbl,
+                                        **self.loss_kwargs)
+                late = i > 0.8 * num_steps
+                w_a = jnp.where(late, 0.1 * zeta_a, zeta_a)
+                w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
+                loss_comb = (w_a * loss_a + w_u * loss_u
+                             + zeta_pde * loss_pde)
+                return loss_comb, (x_next,
+                                   jnp.stack([loss_a, loss_u, loss_pde,
+                                              loss_comb]))
+
+            grad_x, (x_next, losses) = jax.grad(
+                step_loss, has_aux=True)(x_carry)
+            return x_next - grad_x, losses
+
+        idx = jnp.arange(num_steps, dtype=jnp.float32)
+        x, losses = jax.lax.scan(step, x0,
+                                 (idx, sigmas[:-1], sigmas[1:]))
+        return x, losses
+
+
+@dataclass
+class ForwardConditionedSampler:
+    """Guided sampler for forward-method models (the working equivalent of
+    the reference's dead EDMHeatSampler.sample_forward path,
+    sample.py:533-619): x holds only the solution channels, the initial
+    condition conditions the network as obs input, and guidance uses the
+    obs_u observation + PDE losses."""
+
+    net: Callable
+    sample_shape: tuple[int, int]
+    num_channels: int
+    num_samples: int
+    loss_fn: Callable
+    loss_kwargs: dict
+    num_steps: int = 18
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    out_and_grad_fn: Callable = net_and_dnet_dt
+
+    def __post_init__(self):
+        self._jit = jax.jit(self._sample,
+                            static_argnames=("num_steps", "have_labels"))
+
+    def sample(self, key, labels, obs_u, mask_u, zeta_u, zeta_pde,
+               net_obs=None, return_losses=False, num_steps=None):
+        num_steps = num_steps or self.num_steps
+        sigmas = jnp.asarray(
+            karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
+                          self.rho), dtype=jnp.float32)
+        x, losses = self._jit(
+            key, sigmas, labels,
+            jnp.asarray(obs_u, jnp.float32),
+            jnp.asarray(mask_u, jnp.float32),
+            net_obs,
+            jnp.asarray(zeta_u, jnp.float32),
+            jnp.asarray(zeta_pde, jnp.float32),
+            num_steps=num_steps, have_labels=labels is not None)
+        return x, (np.asarray(losses) if return_losses else None)
+
+    def _sample(self, key, sigmas, labels, obs_u, mask_u, net_obs,
+                zeta_u, zeta_pde, *, num_steps, have_labels):
+        b = labels.shape[0] if have_labels else self.num_samples
+        h, w = self.sample_shape
+        mask_u3 = mask_u[..., None]
+        lbl = labels if have_labels else None
+
+        latents = jax.random.normal(key, (b, h, w, self.num_channels))
+        x0 = latents * sigmas[0]
+
+        def eval_net(x, sigma):
+            s = jnp.full((b,), sigma, dtype=jnp.float32)
+            bound = lambda xx, ss, ll: self.net(xx, ss, ll, net_obs)
+            return self.out_and_grad_fn(bound, x, s, lbl)
+
+        def step(x_carry, inp):
+            i, sigma_cur, sigma_next = inp
+
+            def step_loss(x_cur):
+                x_n, dxdt = eval_net(x_cur, sigma_cur)
+                d_cur = (x_cur - x_n) / sigma_cur
+                x_eul = x_cur + (sigma_next - sigma_cur) * d_cur
+
+                def heun(_):
+                    x_n2, dxdt2 = eval_net(x_eul, sigma_next)
+                    d_prime = (x_eul - x_n2) / sigma_next
+                    return (x_cur + (sigma_next - sigma_cur) * 0.5 * (
+                        d_cur + d_prime), x_n2, dxdt2)
+
+                x_next, x_nf, dxdtf = jax.lax.cond(
+                    sigma_next > 0, heun,
+                    lambda _: (x_eul, x_n, dxdt), None)
+
+                loss_u = _safe_sqrt_sum((mask_u3 * (x_nf - obs_u)) ** 2)
+                loss_pde = self.loss_fn(x_nf, dxdtf, lbl,
+                                        **self.loss_kwargs)
+                late = i > 0.8 * num_steps
+                w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
+                loss_comb = w_u * loss_u + zeta_pde * loss_pde
+                return loss_comb, (x_next,
+                                   jnp.stack([loss_u, loss_pde, loss_comb]))
+
+            grad_x, (x_next, losses) = jax.grad(
+                step_loss, has_aux=True)(x_carry)
+            return x_next - grad_x, losses
+
+        idx = jnp.arange(num_steps, dtype=jnp.float32)
+        x, losses = jax.lax.scan(step, x0, (idx, sigmas[:-1], sigmas[1:]))
+        return x, losses

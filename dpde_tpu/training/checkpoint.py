@@ -1,0 +1,56 @@
+"""Orbax checkpointing with true resume.
+
+The reference only torch.saves state_dicts on a schedule and has *no*
+resume path — fine_tune.py is a weights-only warm start (reference:
+training_loop.py:114-131, SURVEY.md section 5). Here the full train state
+(params, optimizer state, EMA, step/epoch counters, best-val) round-trips
+through Orbax so an interrupted run continues exactly, and the reference's
+artifacts are still produced: ``checkpoints/ema_model_best``, periodic
+``model_epoch_{n}``, final ``model`` + ``ema_model``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _as_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path):
+        self.dir = Path(directory).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- full train-state checkpoints (resume) ---------------------------
+    def save_state(self, name: str, state_tree: Any) -> None:
+        path = self.dir / name
+        self._ckptr.save(path, _as_host(state_tree), force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore_state(self, name: str, template: Any) -> Any:
+        return self._ckptr.restore(self.dir / name, target=template)
+
+    def has(self, name: str) -> bool:
+        return (self.dir / name).exists()
+
+    # -- weights-only (reference .pth analogues) -------------------------
+    def save_params(self, name: str, params: Any) -> None:
+        self.save_state(name, params)
+
+    def restore_params(self, name: str, template: Any) -> Any:
+        return self.restore_state(name, template)
+
+
+def load_pretrained_params(path: str | Path, template: Any) -> Any:
+    """Load a weights-only checkpoint for fine-tune / test entry points
+    (reference fine_tune.py:75-77, test2.py:79)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).resolve(), target=template)
