@@ -79,21 +79,19 @@ class UnconditionalSampler:
                            net_obs if have_obs else None)
             return (x - x_n) / sigma
 
+        # Heun for i = 0..N-2, final Euler step outside the scan (keeps the
+        # scanned body branch-free; see JointSampler._sample comment)
         def step(x_cur, inp):
             sigma_cur, sigma_next = inp
             d_cur = dx(x_cur, sigma_cur)
             x_eul = x_cur + (sigma_next - sigma_cur) * d_cur
-
-            def heun(_):
-                d_prime = dx(x_eul, sigma_next)
-                return x_cur + (sigma_next - sigma_cur) * 0.5 * (
-                    d_cur + d_prime)
-
-            x_next = jax.lax.cond(sigma_next > 0, heun,
-                                  lambda _: x_eul, None)
+            d_prime = dx(x_eul, sigma_next)
+            x_next = x_cur + (sigma_next - sigma_cur) * 0.5 * (
+                d_cur + d_prime)
             return x_next, None
 
-        x, _ = jax.lax.scan(step, x0, (sigmas[:-1], sigmas[1:]))
+        x, _ = jax.lax.scan(step, x0, (sigmas[:-2], sigmas[1:-1]))
+        x = x + (0.0 - sigmas[-2]) * dx(x, sigmas[-2])
         return x
 
 
@@ -124,6 +122,9 @@ class JointSampler:
     sigma_max: float = 80.0
     rho: float = 7.0
     out_and_grad_fn: Callable = net_and_dnet_dt
+    remat: bool = True   # jax.checkpoint the denoiser evals: the guidance
+    # backward then recomputes activations instead of keeping both Heun
+    # evals' activations live (SURVEY.md section 7 memory note)
 
     def __post_init__(self):
         self._jit = jax.jit(
@@ -170,50 +171,62 @@ class JointSampler:
             s = jnp.full((b,), sigma, dtype=jnp.float32)
             return self.out_and_grad_fn(self.net, x, s, lbl)
 
+        if self.remat:
+            eval_net = jax.checkpoint(eval_net)
+
+        def guidance(x_nf, dxdtf, i):
+            loss_u = _safe_sqrt_sum(
+                (mask_u3 * (x_nf[..., ch_a:] - obs_u)) ** 2)
+            loss_a = _safe_sqrt_sum(
+                (mask_a3 * (x_nf[..., :ch_a] - obs_a)) ** 2)
+            loss_pde = self.loss_fn(x_nf[..., ch_a:], dxdtf[..., ch_a:],
+                                    lbl, **self.loss_kwargs)
+            late = i > 0.8 * num_steps
+            w_a = jnp.where(late, 0.1 * zeta_a, zeta_a)
+            w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
+            loss_comb = w_a * loss_a + w_u * loss_u + zeta_pde * loss_pde
+            return loss_comb, jnp.stack([loss_a, loss_u, loss_pde,
+                                         loss_comb])
+
+        # Heun steps for i = 0..N-2 (sigma_next > 0): no branch in the
+        # scanned body — the final Euler step runs once outside the scan,
+        # halving the traced/compiled graph vs a lax.cond formulation.
         def step(x_carry, inp):
             i, sigma_cur, sigma_next = inp
 
             def step_loss(x_cur):
-                x_n, dxdt = eval_net(x_cur, sigma_cur)
+                x_n, _ = eval_net(x_cur, sigma_cur)
                 d_cur = (x_cur - x_n) / sigma_cur
                 x_eul = x_cur + (sigma_next - sigma_cur) * d_cur
-
-                def heun(_):
-                    x_n2, dxdt2 = eval_net(x_eul, sigma_next)
-                    d_prime = (x_eul - x_n2) / sigma_next
-                    x_h = x_cur + (sigma_next - sigma_cur) * 0.5 * (
-                        d_cur + d_prime)
-                    return x_h, x_n2, dxdt2
-
-                x_next, x_nf, dxdtf = jax.lax.cond(
-                    sigma_next > 0, heun,
-                    lambda _: (x_eul, x_n, dxdt), None)
-
-                # losses on the (final-eval) denoised estimate
-                loss_u = _safe_sqrt_sum(
-                    (mask_u3 * (x_nf[..., ch_a:] - obs_u)) ** 2)
-                loss_a = _safe_sqrt_sum(
-                    (mask_a3 * (x_nf[..., :ch_a] - obs_a)) ** 2)
-                loss_pde = self.loss_fn(x_nf[..., ch_a:],
-                                        dxdtf[..., ch_a:], lbl,
-                                        **self.loss_kwargs)
-                late = i > 0.8 * num_steps
-                w_a = jnp.where(late, 0.1 * zeta_a, zeta_a)
-                w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
-                loss_comb = (w_a * loss_a + w_u * loss_u
-                             + zeta_pde * loss_pde)
-                return loss_comb, (x_next,
-                                   jnp.stack([loss_a, loss_u, loss_pde,
-                                              loss_comb]))
+                x_n2, dxdt2 = eval_net(x_eul, sigma_next)
+                d_prime = (x_eul - x_n2) / sigma_next
+                x_next = x_cur + (sigma_next - sigma_cur) * 0.5 * (
+                    d_cur + d_prime)
+                loss_comb, losses = guidance(x_n2, dxdt2, i)
+                return loss_comb, (x_next, losses)
 
             grad_x, (x_next, losses) = jax.grad(
                 step_loss, has_aux=True)(x_carry)
             return x_next - grad_x, losses
 
-        idx = jnp.arange(num_steps, dtype=jnp.float32)
+        idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
         x, losses = jax.lax.scan(step, x0,
-                                 (idx, sigmas[:-1], sigmas[1:]))
-        return x, losses
+                                 (idx, sigmas[:-2], sigmas[1:-1]))
+
+        # final Euler step to sigma = 0 (reference loop i = N-1)
+        def final_loss(x_cur):
+            sigma_cur = sigmas[-2]
+            x_n, dxdt = eval_net(x_cur, sigma_cur)
+            d_cur = (x_cur - x_n) / sigma_cur
+            x_next = x_cur + (0.0 - sigma_cur) * d_cur
+            loss_comb, lvec = guidance(x_n, dxdt,
+                                       jnp.float32(num_steps - 1))
+            return loss_comb, (x_next, lvec)
+
+        grad_x, (x_fin, lvec) = jax.grad(final_loss, has_aux=True)(x)
+        x_fin = x_fin - grad_x
+        losses = jnp.concatenate([losses, lvec[None]], axis=0)
+        return x_fin, losses
 
 
 @dataclass
@@ -235,6 +248,7 @@ class ForwardConditionedSampler:
     sigma_max: float = 80.0
     rho: float = 7.0
     out_and_grad_fn: Callable = net_and_dnet_dt
+    remat: bool = True
 
     def __post_init__(self):
         self._jit = jax.jit(self._sample,
@@ -271,37 +285,47 @@ class ForwardConditionedSampler:
             bound = lambda xx, ss, ll: self.net(xx, ss, ll, net_obs)
             return self.out_and_grad_fn(bound, x, s, lbl)
 
+        if self.remat:
+            eval_net = jax.checkpoint(eval_net)
+
+        def guidance(x_nf, dxdtf, i):
+            loss_u = _safe_sqrt_sum((mask_u3 * (x_nf - obs_u)) ** 2)
+            loss_pde = self.loss_fn(x_nf, dxdtf, lbl, **self.loss_kwargs)
+            late = i > 0.8 * num_steps
+            w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
+            loss_comb = w_u * loss_u + zeta_pde * loss_pde
+            return loss_comb, jnp.stack([loss_u, loss_pde, loss_comb])
+
         def step(x_carry, inp):
             i, sigma_cur, sigma_next = inp
 
             def step_loss(x_cur):
-                x_n, dxdt = eval_net(x_cur, sigma_cur)
+                x_n, _ = eval_net(x_cur, sigma_cur)
                 d_cur = (x_cur - x_n) / sigma_cur
                 x_eul = x_cur + (sigma_next - sigma_cur) * d_cur
-
-                def heun(_):
-                    x_n2, dxdt2 = eval_net(x_eul, sigma_next)
-                    d_prime = (x_eul - x_n2) / sigma_next
-                    return (x_cur + (sigma_next - sigma_cur) * 0.5 * (
-                        d_cur + d_prime), x_n2, dxdt2)
-
-                x_next, x_nf, dxdtf = jax.lax.cond(
-                    sigma_next > 0, heun,
-                    lambda _: (x_eul, x_n, dxdt), None)
-
-                loss_u = _safe_sqrt_sum((mask_u3 * (x_nf - obs_u)) ** 2)
-                loss_pde = self.loss_fn(x_nf, dxdtf, lbl,
-                                        **self.loss_kwargs)
-                late = i > 0.8 * num_steps
-                w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
-                loss_comb = w_u * loss_u + zeta_pde * loss_pde
-                return loss_comb, (x_next,
-                                   jnp.stack([loss_u, loss_pde, loss_comb]))
+                x_n2, dxdt2 = eval_net(x_eul, sigma_next)
+                d_prime = (x_eul - x_n2) / sigma_next
+                x_next = x_cur + (sigma_next - sigma_cur) * 0.5 * (
+                    d_cur + d_prime)
+                loss_comb, losses = guidance(x_n2, dxdt2, i)
+                return loss_comb, (x_next, losses)
 
             grad_x, (x_next, losses) = jax.grad(
                 step_loss, has_aux=True)(x_carry)
             return x_next - grad_x, losses
 
-        idx = jnp.arange(num_steps, dtype=jnp.float32)
-        x, losses = jax.lax.scan(step, x0, (idx, sigmas[:-1], sigmas[1:]))
-        return x, losses
+        idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
+        x, losses = jax.lax.scan(step, x0,
+                                 (idx, sigmas[:-2], sigmas[1:-1]))
+
+        def final_loss(x_cur):
+            sigma_cur = sigmas[-2]
+            x_n, dxdt = eval_net(x_cur, sigma_cur)
+            x_next = x_cur + (0.0 - sigma_cur) * (x_cur - x_n) / sigma_cur
+            loss_comb, lvec = guidance(x_n, dxdt,
+                                       jnp.float32(num_steps - 1))
+            return loss_comb, (x_next, lvec)
+
+        grad_x, (x_fin, lvec) = jax.grad(final_loss, has_aux=True)(x)
+        losses = jnp.concatenate([losses, lvec[None]], axis=0)
+        return x_fin - grad_x, losses

@@ -1,5 +1,6 @@
 from .config import Config, load_config, main
 from .paths import get_repo_root, resolve_data_path
+from .jaxcache import enable_compilation_cache
 from . import metrics
 
 __all__ = [
@@ -8,5 +9,6 @@ __all__ = [
     "main",
     "get_repo_root",
     "resolve_data_path",
+    "enable_compilation_cache",
     "metrics",
 ]

@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+The guided samplers compile large scan programs (minutes on first build);
+enabling the JAX persistent cache makes every subsequent process start
+warm. Called by the entry points and bench before first compile.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def enable_compilation_cache(cache_dir: str | Path | None = None) -> None:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "DPDE_TPU_JAX_CACHE",
+            str(Path(__file__).resolve().parents[2] / ".jax_cache"),
+        )
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
