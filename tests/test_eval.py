@@ -1,0 +1,107 @@
+"""Mask generator + test-loop + Karras grid tests."""
+
+import numpy as np
+import pytest
+
+from dpde_tpu.eval.masks import (
+    combine_masks,
+    random_boundary_mask,
+    random_interior_mask,
+)
+from dpde_tpu.sampling.karras import karras_sigmas
+
+
+class TestMasks:
+    def test_boundary_only_on_ring(self):
+        m = random_boundary_mask(8, 10, frac_obs=0.5,
+                                 rng=np.random.default_rng(0))
+        assert not m[1:-1, 1:-1].any()
+        n_expected = int(0.5 * (2 * 8 + 2 * 10 - 4))
+        assert m.sum() == n_expected
+
+    def test_boundary_full_and_empty(self):
+        assert random_boundary_mask(6, 6, frac_obs=1.0).sum() == 4 * 6 - 4
+        assert random_boundary_mask(6, 6, frac_obs=0.0).sum() == 0
+
+    def test_no_corners(self):
+        m = random_boundary_mask(6, 6, frac_obs=1.0, include_corners=False)
+        assert not m[0, 0] and not m[-1, -1]
+
+    def test_interior_only_inside(self):
+        m = random_interior_mask(8, 8, frac_obs=0.25,
+                                 rng=np.random.default_rng(1))
+        assert not m[0, :].any() and not m[:, 0].any()
+        assert m.sum() == int(0.25 * 36)
+
+    def test_n_overrides_frac(self):
+        m = random_interior_mask(8, 8, n=5, rng=np.random.default_rng(2))
+        assert m.sum() == 5
+
+    def test_n_too_large_raises(self):
+        with pytest.raises(ValueError):
+            random_interior_mask(4, 4, n=100)
+
+    def test_combine(self):
+        a = np.zeros((4, 4), bool)
+        a[0, 0] = True
+        b = np.zeros((4, 4), bool)
+        b[1, 1] = True
+        c = combine_masks(a, b)
+        assert c.sum() == 2
+        with pytest.raises(ValueError):
+            combine_masks()
+
+
+class TestKarras:
+    def test_formula_matches_reference(self):
+        """sigma_i = (smax^(1/rho)+i/(N-1)(smin^(1/rho)-smax^(1/rho)))^rho,
+        last entry 0 (reference sample.py:209-212)."""
+        sig = karras_sigmas(50, 0.002, 80.0, 7.0)
+        assert sig.shape == (51,)
+        assert sig[0] == pytest.approx(80.0, rel=1e-12)
+        assert sig[-2] == pytest.approx(0.002, rel=1e-12)
+        assert sig[-1] == 0.0
+        i = np.arange(50, dtype=np.float64)
+        want = (80.0 ** (1 / 7) + i / 49 * (0.002 ** (1 / 7)
+                                            - 80.0 ** (1 / 7))) ** 7
+        np.testing.assert_allclose(sig[:-1], want, rtol=1e-14)
+        assert (np.diff(sig) < 0).all()
+
+
+class TestTestLoop:
+    def test_metrics_accumulate(self, tmp_path):
+        """test_loop with a fake sampler: check MAE/std bookkeeping and the
+        npz output (reference model_testing.py:162-239 accounting)."""
+        from dpde_tpu.data.datasets import ValidationView
+        from dpde_tpu.eval.test_loop import test_loop
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((3, 1, 8, 8, 3)).astype(np.float32)
+        t_steps = np.asarray([0.0, 0.5, 1.0], np.float32)
+        view = ValidationView(data, t_steps, np.ones((3, 1), np.float32),
+                              time_as_label=True)
+
+        class FakeSampler:
+            sample_shape = (8, 8)
+            num_channels = 2
+            num_samples = 4
+
+            def sample(self, key, labels, obs_a, obs_u, mask_a, mask_u,
+                       za, zu, zp, return_losses=False):
+                # returns obs exactly -> MAE must be 0
+                x = np.concatenate([obs_a, obs_u], axis=-1)
+                return x, None
+
+        out = test_loop(FakeSampler(), view, 1.0, 1.0, 1.0,
+                        wandb_kwargs={"mode": "disabled",
+                                      "dir": str(tmp_path)},
+                        items_per_batch=2, max_num_samples=5,
+                        save_path=tmp_path / "validation_data.npz")
+        assert out["MAE"].shape == (5, 2, 8, 8)
+        np.testing.assert_allclose(out["MAE"], 0.0, atol=1e-7)
+        np.testing.assert_allclose(out["std"], 0.0, atol=1e-7)
+        assert np.isfinite(out["ch_rel_error"]).all()
+        assert (tmp_path / "validation_data.npz").exists()
+        loaded = np.load(tmp_path / "validation_data.npz")
+        assert set(loaded.files) == {"MAE", "denom_abs", "denom_range",
+                                     "std"}
