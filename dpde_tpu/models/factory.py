@@ -29,6 +29,8 @@ def build_net_from_config(cfg) -> Any:
                          noise_ch=cfg.model.noise_ch)
     if name == "unet-v2":
         obs_ch = in_ch if method == "forward" else cfg.model.obs_ch
+        dtype_name = cfg.model.get("dtype", "float32")
+        dtype = {"float32": None, "bfloat16": jnp.bfloat16}[dtype_name]
         return EDMUNet(
             img_channels=in_ch,
             label_dim=label_ch,
@@ -39,6 +41,7 @@ def build_net_from_config(cfg) -> Any:
             dropout=cfg.model.dropout,
             sigma_emb_dim=cfg.model.noise_ch,
             emb_dim=cfg.model.emb_ch,
+            dtype=dtype,
         )
     raise ValueError(f"Unknown model name: {cfg.model.name}")
 
@@ -57,7 +60,13 @@ def init_denoiser(cfg, key: jax.Array, sample_shape, num_channels: int,
     sigma = jnp.ones((1,), jnp.float32)
     labels = jnp.zeros((1, label_ch), jnp.float32) if label_ch > 0 else None
     obs = jnp.zeros((1, h, w, obs_ch), jnp.float32) if obs_ch else None
-    params = module.init(key, x, sigma, labels, obs)
+    # initialise on the host CPU: weight init needs no accelerator, and a
+    # full-UNet init program is an expensive pointless TPU compile
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = jax.jit(module.init, backend="cpu")(key, x, sigma, labels,
+                                                     obs)
+    params = jax.device_put(params, jax.devices()[0])
 
     def apply_fn(p, xx, ss, ll, oo, train=False, rngs=None):
         return module.apply(p, xx, ss, ll, oo, train=train, rngs=rngs)

@@ -44,12 +44,20 @@ def init_train_state(params: Any, tx: optax.GradientTransformation
                      ) -> TrainState:
     # Copy params into the state: the train step donates its input state,
     # and device_put-with-same-sharding aliases buffers, so reusing the
-    # caller's arrays directly would free them on the first step.
-    params = jax.tree_util.tree_map(jnp.copy, params)
+    # caller's arrays directly would free them on the first step. The copy
+    # goes through the host — per-leaf on-device copies would trigger one
+    # tiny TPU compile per parameter shape (minutes on a remote-compile
+    # tunnel); a host round-trip of a few hundred MB is milliseconds.
+    import numpy as np
+
+    host = jax.tree_util.tree_map(np.asarray, params)
+    fresh = lambda: jax.tree_util.tree_map(
+        lambda a: jax.device_put(a.copy()), host)
+    params = fresh()
     return TrainState(
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        ema_params=fresh(),
         step=jnp.zeros((), jnp.int32),
     )
 

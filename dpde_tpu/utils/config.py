@@ -25,7 +25,10 @@ from typing import Any, Iterable
 
 import yaml
 
-_ENV_RE = re.compile(r"\$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^}]*))?\}")
+# innermost-first: the body may not contain braces, so nested defaults
+# like ${oc.env:REPO_ROOT,${oc.env:PWD}} resolve inner-out in a loop
+_ENV_RE = re.compile(
+    r"\$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^{}]*))?\}")
 
 
 class Config(dict):
@@ -69,7 +72,11 @@ def _interp_env(obj: Any) -> Any:
             var, default = m.group(1), m.group(2)
             return os.environ.get(var, default if default is not None else "")
 
-        return _ENV_RE.sub(sub, obj)
+        prev = None
+        while prev != obj and "${oc.env:" in obj:
+            prev = obj
+            obj = _ENV_RE.sub(sub, obj)
+        return obj
     if isinstance(obj, dict):
         return {k: _interp_env(v) for k, v in obj.items()}
     if isinstance(obj, list):
@@ -122,10 +129,31 @@ def _merge(base: dict, other: dict) -> dict:
     return out
 
 
+def _coerce_numbers(obj: Any) -> Any:
+    """PyYAML parses '1e-4' as a string (YAML 1.1 float grammar needs a
+    dot); OmegaConf — which the reference's configs were written for —
+    parses it as a float. Coerce purely-numeric-looking strings so configs
+    behave identically."""
+    if isinstance(obj, str):
+        try:
+            return int(obj)
+        except ValueError:
+            pass
+        try:
+            return float(obj)
+        except ValueError:
+            return obj
+    if isinstance(obj, dict):
+        return {k: _coerce_numbers(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_coerce_numbers(v) for v in obj]
+    return obj
+
+
 def _load_yaml(path: Path) -> dict:
     with open(path) as f:
         data = yaml.safe_load(f)
-    return data or {}
+    return _coerce_numbers(data or {})
 
 
 def load_config(

@@ -20,6 +20,10 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from dpde_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from dpde_tpu.data.io import save_data
 from dpde_tpu.physics import heat as heat_phys
 from dpde_tpu.physics import llg as llg_phys

@@ -13,6 +13,10 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from dpde_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from dpde_tpu.data import get_validation_view
 from dpde_tpu.data.io import load_attr
 from dpde_tpu.eval import get_masks_from_config, test_loop
@@ -27,7 +31,7 @@ from dpde_tpu.training import load_pretrained_params
 from dpde_tpu.utils import metrics as metrics_mod, resolve_data_path
 from dpde_tpu.utils.config import main as config_main
 
-logging.basicConfig(level=logging.INFO,
+logging.basicConfig(level=logging.INFO, force=True,
                     format="%(asctime)s %(name)s %(levelname)s %(message)s")
 logger = logging.getLogger("test")
 

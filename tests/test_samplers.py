@@ -1,0 +1,157 @@
+"""Sampler unit tests (shapes, determinism, guidance variants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpde_tpu.models import Denoiser, EDMUNet
+from dpde_tpu.sampling import (
+    ForwardConditionedSampler,
+    JointSampler,
+    UnconditionalSampler,
+    net_and_dnet_dt_dummy,
+    pde_losses,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_joint_net():
+    net = EDMUNet(img_channels=2, label_dim=2, base_channels=32,
+                  channel_mults=(1, 2), num_res_blocks=1)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 2)),
+                      jnp.ones(1), jnp.zeros((1, 2)), None)
+    apply_fn = lambda p, xx, ss, ll, oo, train=False, rngs=None: \
+        net.apply(p, xx, ss, ll, oo, train=train)
+    return Denoiser(apply_fn, params)
+
+
+@pytest.fixture(scope="module")
+def tiny_forward_net():
+    net = EDMUNet(img_channels=1, obs_channels=1, label_dim=2,
+                  base_channels=32, channel_mults=(1, 2), num_res_blocks=1)
+    params = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 1)),
+                      jnp.ones(1), jnp.zeros((1, 2)),
+                      jnp.zeros((1, 16, 16, 1)))
+    apply_fn = lambda p, xx, ss, ll, oo, train=False, rngs=None: \
+        net.apply(p, xx, ss, ll, oo, train=train)
+    return Denoiser(apply_fn, params)
+
+
+class TestUnconditional:
+    def test_deterministic_given_key(self, tiny_joint_net):
+        s = UnconditionalSampler(tiny_joint_net, (16, 16), 2, 3, num_steps=6)
+        lbl = jnp.zeros((3, 2))
+        a = np.asarray(s.sample(jax.random.PRNGKey(7), labels=lbl))
+        b = np.asarray(s.sample(jax.random.PRNGKey(7), labels=lbl))
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(s.sample(jax.random.PRNGKey(8), labels=lbl))
+        assert not np.allclose(a, c)
+
+    def test_batch_from_num_samples_without_labels(self, tiny_joint_net):
+        s = UnconditionalSampler(tiny_joint_net, (16, 16), 2, 5, num_steps=4)
+        out = s.sample(jax.random.PRNGKey(0))
+        assert out.shape == (5, 16, 16, 2)
+
+
+class TestJoint:
+    def test_zero_masks_no_nan(self, tiny_joint_net):
+        """All-zero masks exercise the sqrt(0) guard (the reference skips
+        the term with an if; we must not produce NaN grads)."""
+        s = JointSampler(tiny_joint_net, (16, 16), 2, 2, ch_a=1,
+                         loss_fn=pde_losses.heat_loss2,
+                         loss_kwargs={"dx": 1 / 15}, num_steps=6)
+        zeros = np.zeros((16, 16), bool)
+        x, losses = s.sample(jax.random.PRNGKey(0), jnp.ones((2, 2)),
+                             np.zeros((1, 16, 16, 1), np.float32),
+                             np.zeros((1, 16, 16, 1), np.float32),
+                             zeros, zeros, 1.0, 1.0, 1.0,
+                             return_losses=True)
+        assert np.isfinite(np.asarray(x)).all()
+        np.testing.assert_allclose(losses[:, 0], 0.0)
+        np.testing.assert_allclose(losses[:, 1], 0.0)
+
+    def test_losses_trace_shape(self, tiny_joint_net):
+        s = JointSampler(tiny_joint_net, (16, 16), 2, 2, ch_a=1,
+                         loss_fn=pde_losses.heat_loss2,
+                         loss_kwargs={"dx": 1 / 15}, num_steps=9)
+        m = np.ones((16, 16), bool)
+        _, losses = s.sample(jax.random.PRNGKey(0), jnp.ones((2, 2)),
+                             np.zeros((1, 16, 16, 1), np.float32),
+                             np.zeros((1, 16, 16, 1), np.float32),
+                             m, m, 1.0, 1.0, 1.0, return_losses=True)
+        assert losses.shape == (9, 4)
+
+    def test_zero_zetas_equals_unconditional_path(self, tiny_joint_net):
+        """With all-zero guidance weights the guided sampler must reduce to
+        the plain Heun sampler (same key, same schedule)."""
+        m = np.zeros((16, 16), bool)
+        lbl = jnp.ones((3, 2))
+        js = JointSampler(tiny_joint_net, (16, 16), 2, 3, ch_a=1,
+                          loss_fn=pde_losses.heat_loss2,
+                          loss_kwargs={"dx": 1 / 15}, num_steps=8)
+        us = UnconditionalSampler(tiny_joint_net, (16, 16), 2, 3,
+                                  num_steps=8)
+        xg, _ = js.sample(jax.random.PRNGKey(3), lbl,
+                          np.zeros((1, 16, 16, 1), np.float32),
+                          np.zeros((1, 16, 16, 1), np.float32),
+                          m, m, 0.0, 0.0, 0.0)
+        xu = us.sample(jax.random.PRNGKey(3), labels=lbl)
+        np.testing.assert_allclose(np.asarray(xg), np.asarray(xu),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_llg_dispatch_dummy_derivative(self, tiny_joint_net):
+        """llg-style: X_and_dXdt_dummy + norm-constraint loss
+        (reference test2.py:90-95)."""
+        net = EDMUNet(img_channels=6, label_dim=3, base_channels=32,
+                      channel_mults=(1, 2), num_res_blocks=1)
+        params = net.init(jax.random.PRNGKey(2), jnp.zeros((1, 16, 16, 6)),
+                          jnp.ones(1), jnp.zeros((1, 3)), None)
+        apply_fn = lambda p, xx, ss, ll, oo, train=False, rngs=None: \
+            net.apply(p, xx, ss, ll, oo, train=train)
+        den = Denoiser(apply_fn, params)
+        s = JointSampler(den, (16, 16), 6, 2, ch_a=3,
+                         loss_fn=pde_losses.llg_loss2, loss_kwargs={},
+                         num_steps=5,
+                         out_and_grad_fn=net_and_dnet_dt_dummy)
+        m = np.ones((16, 16), bool)
+        x, losses = s.sample(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                             np.zeros((1, 16, 16, 3), np.float32),
+                             np.zeros((1, 16, 16, 3), np.float32),
+                             m, m, 1.0, 0.5, 1.0, return_losses=True)
+        assert x.shape == (2, 16, 16, 6)
+        assert np.isfinite(np.asarray(x)).all()
+
+
+class TestForwardConditioned:
+    def test_runs_with_net_obs(self, tiny_forward_net):
+        s = ForwardConditionedSampler(
+            tiny_forward_net, (16, 16), 1, 2,
+            loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": 1 / 15},
+            num_steps=6)
+        m = np.ones((16, 16), bool)
+        obs = jnp.ones((2, 16, 16, 1)) * 0.3
+        x, losses = s.sample(jax.random.PRNGKey(0), jnp.ones((2, 2)),
+                             np.zeros((2, 16, 16, 1), np.float32), m,
+                             zeta_u=1.0, zeta_pde=1.0, net_obs=obs,
+                             return_losses=True)
+        assert x.shape == (2, 16, 16, 1)
+        assert losses.shape == (6, 3)
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_obs_conditioning_affects_samples(self, tiny_forward_net):
+        # perturb params away from the zero-init output head — at init the
+        # final conv is zero so obs cannot influence the output
+        net = tiny_forward_net.replace_params(
+            jax.tree_util.tree_map(lambda p: p + 0.01, tiny_forward_net.params))
+        s = ForwardConditionedSampler(
+            net, (16, 16), 1, 2,
+            loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": 1 / 15},
+            num_steps=4)
+        m = np.zeros((16, 16), bool)
+        ou = np.zeros((2, 16, 16, 1), np.float32)
+        x1, _ = s.sample(jax.random.PRNGKey(1), jnp.ones((2, 2)), ou, m,
+                         0.0, 0.0, net_obs=jnp.zeros((2, 16, 16, 1)))
+        x2, _ = s.sample(jax.random.PRNGKey(1), jnp.ones((2, 2)), ou, m,
+                         0.0, 0.0, net_obs=jnp.ones((2, 16, 16, 1)))
+        assert not np.allclose(np.asarray(x1), np.asarray(x2))

@@ -14,12 +14,16 @@ from pathlib import Path
 import jax
 
 from dpde_tpu.data import get_dataloaders
+
+from dpde_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
 from dpde_tpu.models import build_loss_from_config, init_denoiser
 from dpde_tpu.training import train as run_train
 from dpde_tpu.utils import metrics as metrics_mod
 from dpde_tpu.utils.config import main as config_main
 
-logging.basicConfig(level=logging.INFO,
+logging.basicConfig(level=logging.INFO, force=True,
                     format="%(asctime)s %(name)s %(levelname)s %(message)s")
 logger = logging.getLogger("train")
 
