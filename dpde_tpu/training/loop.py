@@ -93,16 +93,19 @@ def train(
         try:
             for epoch in range(start_epoch, epochs):
                 t0 = time.perf_counter()
-                running, n_batches = 0.0, 0
+                # keep per-step losses on device — a float() per step would
+                # force a host sync and serialize dispatch with compute
+                losses, n_batches = [], 0
                 for batch in train_iter:
                     key, k_step = jax.random.split(key)
                     sb = shard_batch(mesh, batch)
                     state, loss, aux = train_step(
                         state, k_step, sb["X"], sb.get("labels"),
                         sb.get("obs"))
-                    running += float(loss)
+                    losses.append(loss)
                     n_batches += 1
-                epoch_loss = running / max(1, n_batches)
+                epoch_loss = float(np.mean([float(l) for l in losses])) \
+                    if losses else 0.0
                 step = int(state.step)
                 run.log({"Loss/train/epoch": epoch_loss, "epoch": epoch,
                          **{k: float(v) for k, v in aux.items()}},
