@@ -67,8 +67,24 @@ def main(cfg):
         loss_fn, loss_kwargs = pde_losses.heat_loss2, {"dx": dx}
         out_and_grad = net_and_dnet_dt
     elif "llg" in dataset_name:
-        loss_fn, loss_kwargs = pde_losses.llg_loss2, {}
-        out_and_grad = net_and_dnet_dt_dummy
+        if cfg.run.get("llg_full_physics", False):
+            # full LLG residual guidance — the capability the reference
+            # could only reach by calling MagTense per sampling step
+            # (reference pde_losses.py:119-257); here fully on-device
+            from dpde_tpu.physics import llg as llg_phys
+            from dpde_tpu.physics.demag import DemagKernel
+
+            res, grid = llg_phys.STD4_RES, llg_phys.STD4_GRID
+            params_phys = llg_phys.LLGParams()
+            kernel = DemagKernel.build(res[0], res[1],
+                                       grid[0] / res[0], grid[1] / res[1],
+                                       grid[2])
+            loss_fn = pde_losses.llg_residual_loss
+            loss_kwargs = {"kernel": kernel, "params": params_phys}
+            out_and_grad = net_and_dnet_dt
+        else:
+            loss_fn, loss_kwargs = pde_losses.llg_loss2, {}
+            out_and_grad = net_and_dnet_dt_dummy
     else:
         raise ValueError(f"Unknown dataset name: {dataset_name}")
 
