@@ -16,10 +16,13 @@ differences; here each sampler compiles ONCE into a single XLA program:
     is stop-gradient, matching the reference's no_grad FD evaluations;
   * per-step losses are scan outputs — zero host syncs inside the loop.
 
-Throughput: multiple test items can be flattened into one batch. The
-reference's guidance losses sum over the whole batch before the gradient
-(sample.py:340-347), so per-sample gradients are independent and batching
-items is mathematically identical (loss traces become batch-sums).
+Throughput: multiple test items can be flattened into one batch (item k =
+a contiguous block of ``num_samples`` rows). The reference takes
+``sqrt(sum_batch(...))`` over ONE item's sample batch (sample.py:340-347),
+so the sqrt here is taken per item group (pde_losses.group_sqrt_sum) and
+the per-item combined losses are summed for the gradient — each item's
+samples come out bit-identical to a single-item run (tested in
+tests/test_samplers.py::test_item_batching_exact).
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ import numpy as np
 
 from ..ops.deriv import net_and_dnet_dt
 from .karras import karras_sigmas
-from .pde_losses import _safe_sqrt_sum
+from .pde_losses import group_sqrt_sum
 
 
 @dataclass
@@ -133,9 +136,15 @@ class JointSampler:
 
     def sample(self, key, labels, obs_a, obs_u, mask_a, mask_u,
                zeta_a, zeta_u, zeta_pde, return_losses=False,
-               num_steps=None):
+               num_steps=None, latents=None):
         """obs_a: (B|1, H, W, ch_a); obs_u: (B|1, H, W, C-ch_a);
-        masks: (H, W) booleans. Returns (x, losses[num_steps, 4] | None)."""
+        masks: (H, W) booleans. B = K * num_samples flattens K items
+        (contiguous blocks of num_samples rows); guidance sqrt-sums are
+        taken per item, so each item reproduces a standalone run exactly.
+        ``latents`` optionally fixes the initial noise (B, H, W, C) —
+        used for standalone-vs-batched exactness tests. Returns
+        (x, losses) with losses (num_steps, 4) per-item traces when
+        K == 1, else (num_steps, K, 4)."""
         num_steps = num_steps or self.num_steps
         sigmas = jnp.asarray(
             karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
@@ -150,21 +159,28 @@ class JointSampler:
             jnp.asarray(zeta_a, jnp.float32),
             jnp.asarray(zeta_u, jnp.float32),
             jnp.asarray(zeta_pde, jnp.float32),
+            latents,
             num_steps=num_steps,
             have_labels=labels is not None,
         )
-        return x, (np.asarray(losses) if return_losses else None)
+        if return_losses:
+            losses = np.asarray(losses)
+            return x, (losses[:, 0] if losses.shape[1] == 1 else losses)
+        return x, None
 
     def _sample(self, key, sigmas, labels, obs_a, obs_u, mask_a, mask_u,
-                zeta_a, zeta_u, zeta_pde, *, num_steps, have_labels):
+                zeta_a, zeta_u, zeta_pde, latents, *, num_steps,
+                have_labels):
         b = labels.shape[0] if have_labels else self.num_samples
+        k_items = max(1, b // self.num_samples)   # flattened test items
         h, w = self.sample_shape
         ch_a = self.ch_a
         mask_a3 = mask_a[..., None]       # (H, W, 1) -> broadcast channels
         mask_u3 = mask_u[..., None]
         lbl = labels if have_labels else None
 
-        latents = jax.random.normal(key, (b, h, w, self.num_channels))
+        if latents is None:
+            latents = jax.random.normal(key, (b, h, w, self.num_channels))
         x0 = latents * sigmas[0]
 
         def eval_net(x, sigma):
@@ -184,18 +200,22 @@ class JointSampler:
             eval_plain = jax.checkpoint(eval_plain)
 
         def guidance(x_nf, dxdtf, i):
-            loss_u = _safe_sqrt_sum(
-                (mask_u3 * (x_nf[..., ch_a:] - obs_u)) ** 2)
-            loss_a = _safe_sqrt_sum(
-                (mask_a3 * (x_nf[..., :ch_a] - obs_a)) ** 2)
+            # per-item (K,) sqrt-sums — see module docstring
+            loss_u = group_sqrt_sum(
+                (mask_u3 * (x_nf[..., ch_a:] - obs_u)) ** 2, k_items)
+            loss_a = group_sqrt_sum(
+                (mask_a3 * (x_nf[..., :ch_a] - obs_a)) ** 2, k_items)
             loss_pde = self.loss_fn(x_nf[..., ch_a:], dxdtf[..., ch_a:],
-                                    lbl, **self.loss_kwargs)
+                                    lbl, num_items=k_items,
+                                    **self.loss_kwargs)
             late = i > 0.8 * num_steps
             w_a = jnp.where(late, 0.1 * zeta_a, zeta_a)
             w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
             loss_comb = w_a * loss_a + w_u * loss_u + zeta_pde * loss_pde
-            return loss_comb, jnp.stack([loss_a, loss_u, loss_pde,
-                                         loss_comb])
+            # items are independent: summing per-item combined losses gives
+            # each item exactly its own gradient
+            return loss_comb.sum(), jnp.stack(
+                [loss_a, loss_u, loss_pde, loss_comb], axis=-1)   # (K, 4)
 
         # Heun steps for i = 0..N-2 (sigma_next > 0): no branch in the
         # scanned body — the final Euler step runs once outside the scan,
@@ -277,11 +297,15 @@ class ForwardConditionedSampler:
             jnp.asarray(zeta_u, jnp.float32),
             jnp.asarray(zeta_pde, jnp.float32),
             num_steps=num_steps, have_labels=labels is not None)
-        return x, (np.asarray(losses) if return_losses else None)
+        if return_losses:
+            losses = np.asarray(losses)
+            return x, (losses[:, 0] if losses.shape[1] == 1 else losses)
+        return x, None
 
     def _sample(self, key, sigmas, labels, obs_u, mask_u, net_obs,
                 zeta_u, zeta_pde, *, num_steps, have_labels):
         b = labels.shape[0] if have_labels else self.num_samples
+        k_items = max(1, b // self.num_samples)
         h, w = self.sample_shape
         mask_u3 = mask_u[..., None]
         lbl = labels if have_labels else None
@@ -303,12 +327,15 @@ class ForwardConditionedSampler:
             eval_plain = jax.checkpoint(eval_plain)
 
         def guidance(x_nf, dxdtf, i):
-            loss_u = _safe_sqrt_sum((mask_u3 * (x_nf - obs_u)) ** 2)
-            loss_pde = self.loss_fn(x_nf, dxdtf, lbl, **self.loss_kwargs)
+            loss_u = group_sqrt_sum((mask_u3 * (x_nf - obs_u)) ** 2,
+                                    k_items)
+            loss_pde = self.loss_fn(x_nf, dxdtf, lbl, num_items=k_items,
+                                    **self.loss_kwargs)
             late = i > 0.8 * num_steps
             w_u = jnp.where(late, 0.1 * zeta_u, zeta_u)
             loss_comb = w_u * loss_u + zeta_pde * loss_pde
-            return loss_comb, jnp.stack([loss_u, loss_pde, loss_comb])
+            return loss_comb.sum(), jnp.stack(
+                [loss_u, loss_pde, loss_comb], axis=-1)   # (K, 3)
 
         def step(x_carry, inp):
             i, sigma_cur, sigma_next = inp

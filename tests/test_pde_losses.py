@@ -33,7 +33,7 @@ def test_heat_loss2_matches_reference():
                                    torch.tensor(labels), dx))
     got = float(heat_loss2(jnp.asarray(np.moveaxis(u, 1, -1)),
                            jnp.asarray(np.moveaxis(dudt, 1, -1)),
-                           jnp.asarray(labels), dx))
+                           jnp.asarray(labels), dx)[0])
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
@@ -46,7 +46,7 @@ def test_heat_loss2_zero_residual():
     labels = jnp.asarray([[0.0, 0.7], [0.0, 0.3]])
     dudt = labels[:, 1].reshape(-1, 1, 1, 1) * laplacian(
         u, 0.5, channels_last=True)
-    got = float(heat_loss2(u, dudt, labels, 0.5))
+    got = float(heat_loss2(u, dudt, labels, 0.5)[0])
     assert got < 1e-3
 
 
@@ -54,7 +54,7 @@ def test_heat_loss2_alpha_fallback():
     u = jnp.ones((1, 4, 4, 1))
     dudt = jnp.zeros((1, 4, 4, 1))
     # uniform field -> lap = 0 -> residual = dudt = 0
-    assert float(heat_loss2(u, dudt, None, 1.0)) == 0.0
+    assert float(heat_loss2(u, dudt, None, 1.0)[0]) == 0.0
 
 
 def test_llg_loss2_matches_reference():
@@ -66,7 +66,7 @@ def test_llg_loss2_matches_reference():
     want = float(torch.sqrt(torch.sum((1 - norm) ** 2))
                  / (m.shape[2] * m.shape[3]))
     got = float(llg_loss2(jnp.asarray(np.moveaxis(m, 1, -1)),
-                          None, None))
+                          None, None)[0])
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
@@ -74,7 +74,7 @@ def test_llg_loss2_unit_norm_zero():
     rng = np.random.default_rng(3)
     m = rng.standard_normal((2, 8, 4, 3)).astype(np.float32)
     m /= np.linalg.norm(m, axis=-1, keepdims=True)
-    assert float(llg_loss2(jnp.asarray(m), None, None)) < 1e-5
+    assert float(llg_loss2(jnp.asarray(m), None, None)[0]) < 1e-5
 
 
 def test_llg_residual_loss_on_solver_trajectory():
@@ -101,10 +101,11 @@ def test_llg_residual_loss_on_solver_trajectory():
     rhs = L.llg_rhs(m, L.h_effective(m, h_ext, kernel, params), params)
     dmdt = rhs * t_per
 
-    loss = float(llg_residual_loss(m, dmdt, labels, kernel, params, t_per))
+    loss = float(llg_residual_loss(m, dmdt, labels, kernel,
+                                   params, t_per)[0])
     assert loss < 1e-6
 
     # and clearly nonzero for a wrong derivative
     loss_bad = float(llg_residual_loss(m, -dmdt, labels, kernel, params,
-                                       t_per))
+                                       t_per)[0])
     assert loss_bad > 10 * max(loss, 1e-12)

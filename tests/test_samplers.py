@@ -155,3 +155,79 @@ class TestForwardConditioned:
         x2, _ = s.sample(jax.random.PRNGKey(1), jnp.ones((2, 2)), ou, m,
                          0.0, 0.0, net_obs=jnp.ones((2, 16, 16, 1)))
         assert not np.allclose(np.asarray(x1), np.asarray(x2))
+
+
+class TestItemBatching:
+    def test_item_batching_exact(self, tiny_joint_net):
+        """An item inside a K-item flattened batch must produce exactly the
+        samples and loss trace of a standalone run (VERDICT round-1 bug:
+        a single global sqrt coupled the items' guidance gradients;
+        reference semantics are per-item sqrt, sample.py:337-355)."""
+        s_per = 2          # samples per item
+        k = 3              # items
+        rng = np.random.default_rng(0)
+        h = w = 16
+        steps = 6
+        mask = np.zeros((h, w), bool)
+        mask[2:-2, 2:-2] = rng.random((h - 4, w - 4)) < 0.4
+
+        obs_a = rng.standard_normal((k, 1, h, w, 1)).astype(np.float32)
+        obs_u = rng.standard_normal((k, 1, h, w, 1)).astype(np.float32)
+        labels = rng.uniform(0.2, 1.0, (k, 1, 2)).astype(np.float32)
+        latents = rng.standard_normal((k, s_per, h, w, 2)).astype(np.float32)
+
+        rep = lambda x: np.repeat(x, s_per, axis=1)
+
+        sampler = JointSampler(tiny_joint_net, (h, w), 2, s_per, ch_a=1,
+                               loss_fn=pde_losses.heat_loss2,
+                               loss_kwargs={"dx": 1 / (w - 1)},
+                               num_steps=steps)
+        # batched run: K items flattened
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        xb, lb = sampler.sample(
+            jax.random.PRNGKey(0), jnp.asarray(flat(rep(labels))),
+            flat(rep(obs_a)), flat(rep(obs_u)), mask, mask,
+            2.0, 0.7, 1.5, return_losses=True,
+            latents=jnp.asarray(flat(latents)))
+        xb = np.asarray(xb).reshape(k, s_per, h, w, 2)
+        assert lb.shape == (steps, k, 4)
+
+        # standalone runs, same latents
+        for i in range(k):
+            xi, li = sampler.sample(
+                jax.random.PRNGKey(0), jnp.asarray(rep(labels)[i]),
+                rep(obs_a)[i], rep(obs_u)[i], mask, mask,
+                2.0, 0.7, 1.5, return_losses=True,
+                latents=jnp.asarray(latents[i]))
+            np.testing.assert_allclose(np.asarray(xi), xb[i],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(li, lb[:, i], rtol=1e-4, atol=1e-6)
+
+    def test_coupling_absent(self, tiny_joint_net):
+        """Changing item 2's observations must not change item 1's output
+        at all (per-item gradient independence)."""
+        s_per, h, w = 2, 16, 16
+        rng = np.random.default_rng(1)
+        mask = np.ones((h, w), bool)
+        lbl = jnp.asarray(rng.uniform(0.2, 1.0, (4, 2)).astype(np.float32))
+        latents = jnp.asarray(
+            rng.standard_normal((4, h, w, 2)).astype(np.float32))
+        obs_a = rng.standard_normal((4, h, w, 1)).astype(np.float32)
+        obs_u = rng.standard_normal((4, h, w, 1)).astype(np.float32)
+        sampler = JointSampler(tiny_joint_net, (h, w), 2, s_per, ch_a=1,
+                               loss_fn=pde_losses.heat_loss2,
+                               loss_kwargs={"dx": 1 / (w - 1)},
+                               num_steps=5)
+        x1, _ = sampler.sample(jax.random.PRNGKey(0), lbl, obs_a, obs_u,
+                               mask, mask, 2.0, 0.7, 1.5, latents=latents)
+        obs_a2 = obs_a.copy()
+        obs_a2[s_per:] *= 10.0        # perturb item 2 only
+        x2, _ = sampler.sample(jax.random.PRNGKey(0), lbl, obs_a, obs_u.copy(),
+                               mask, mask, 2.0, 0.7, 1.5, latents=latents)
+        x3, _ = sampler.sample(jax.random.PRNGKey(0), lbl, obs_a2, obs_u,
+                               mask, mask, 2.0, 0.7, 1.5, latents=latents)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(x1)[:s_per],
+                                      np.asarray(x3)[:s_per])
+        assert not np.allclose(np.asarray(x1)[s_per:],
+                               np.asarray(x3)[s_per:])
