@@ -46,7 +46,7 @@ class EDMLoss:
 
     def __call__(self, net: Callable, key: jax.Array, x: jnp.ndarray,
                  labels: jnp.ndarray | None, obs: jnp.ndarray | None = None,
-                 train: bool = True):
+                 train: bool = True, rngs: dict | None = None):
         k_sigma, k_noise = jax.random.split(key)
         b = x.shape[0]
         rnd = jax.random.normal(k_sigma, (b, 1, 1, 1))
@@ -54,7 +54,8 @@ class EDMLoss:
         sd = self.sigma_data
         weight = (sigma ** 2 + sd ** 2) / (sigma * sd) ** 2
         n = jax.random.normal(k_noise, x.shape) * sigma
-        d_yn = net(x + n, sigma.reshape(-1), labels, obs, train=train)
+        d_yn = net(x + n, sigma.reshape(-1), labels, obs, train=train,
+                   rngs=rngs)
         loss = weight * (d_yn - x) ** 2
         per_sample = _reduce(loss, self.reduce_method)
         return per_sample, {"Loss/train/batch/EDM": loss.mean()}
@@ -85,7 +86,8 @@ class EDMHeatLoss:
     def ch_a(self) -> int:
         return 1 if self.method == "joint" else 0
 
-    def _two_step_sample(self, net, x, sigma, labels, obs, train):
+    def _two_step_sample(self, net, x, sigma, labels, obs, train,
+                         rngs=None):
         """Short first-order rollout from per-sample sigma to sigma_min
         (loss.py:78-135)."""
         b = x.shape[0]
@@ -100,13 +102,14 @@ class EDMHeatLoss:
         for i in range(self.steps):
             s_cur = s_seq[:, i].reshape(b, 1, 1, 1)
             s_nxt = s_seq[:, i + 1].reshape(b, 1, 1, 1)
-            d_x = net(x_next, s_seq[:, i], labels, obs, train=train)
+            d_x = net(x_next, s_seq[:, i], labels, obs, train=train,
+                      rngs=rngs)
             x_next = x_next + (s_nxt - s_cur) * (x_next - d_x) / s_cur
         return x_next
 
     def __call__(self, net: Callable, key: jax.Array, x: jnp.ndarray,
                  labels: jnp.ndarray | None, obs: jnp.ndarray | None = None,
-                 train: bool = True):
+                 train: bool = True, rngs: dict | None = None):
         k_sigma, k_noise = jax.random.split(key)
         b = x.shape[0]
         rnd = jax.random.normal(k_sigma, (b, 1, 1, 1))
@@ -115,7 +118,8 @@ class EDMHeatLoss:
         weight = (sigma ** 2 + sd ** 2) / (sigma * sd) ** 2
         n = jax.random.normal(k_noise, x.shape) * sigma
 
-        bound = lambda xx, ss, ll: net(xx, ss, ll, obs, train=train)
+        bound = lambda xx, ss, ll: net(xx, ss, ll, obs, train=train,
+                                       rngs=rngs)
         deriv = (net_and_dnet_dt if self.time_derivative == "jvp"
                  else net_and_dnet_dt_fd)
         d_yn, dxdt = deriv(bound, x + n, sigma.reshape(-1), labels)
@@ -126,7 +130,7 @@ class EDMHeatLoss:
             x0_star = d_yn
         elif self.residual_estimation == "SE":
             x0_star = self._two_step_sample(net, d_yn, sigma, labels, obs,
-                                            train)
+                                            train, rngs=rngs)
         else:
             raise ValueError(self.residual_estimation)
 

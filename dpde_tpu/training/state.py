@@ -64,8 +64,10 @@ def init_train_state(params: Any, tx: optax.GradientTransformation
 
 def make_train_step(denoiser_template, loss_fn: Callable,
                     tx: optax.GradientTransformation,
-                    ema_cfg: EMAConfig) -> Callable:
-    """Build the jitted train step.
+                    ema_cfg: EMAConfig, jit: bool = True) -> Callable:
+    """Build the train step (jitted by default; ``jit=False`` returns the
+    raw body for embedding into a larger program — e.g. the whole-epoch
+    scan in data.device_pipeline).
 
     denoiser_template: a Denoiser whose params are swapped per step.
     loss_fn(net, key, x, labels, obs) -> (per_sample_loss, metrics).
@@ -73,10 +75,13 @@ def make_train_step(denoiser_template, loss_fn: Callable,
 
     def loss_of_params(params, key, x, labels, obs):
         net = denoiser_template.replace_params(params)
-        per_sample, aux = loss_fn(net, key, x, labels, obs, train=True)
+        # a dedicated dropout stream so configs with model.dropout > 0
+        # train (flax raises without it); harmless when dropout == 0
+        k_loss, k_drop = jax.random.split(key)
+        per_sample, aux = loss_fn(net, k_loss, x, labels, obs, train=True,
+                                  rngs={"dropout": k_drop})
         return per_sample.mean(), aux
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, key, x, labels, obs):
         (loss, aux), grads = jax.value_and_grad(
             loss_of_params, has_aux=True)(state.params, key, x, labels, obs)
@@ -88,17 +93,19 @@ def make_train_step(denoiser_template, loss_fn: Callable,
         aux["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, opt_state, ema_params, step), loss, aux
 
-    return train_step
+    if not jit:
+        return train_step
+    return partial(jax.jit, donate_argnums=(0,))(train_step)
 
 
-def make_eval_step(denoiser_template, loss_fn: Callable) -> Callable:
+def make_eval_step(denoiser_template, loss_fn: Callable,
+                   jit: bool = True) -> Callable:
     """Validation step on given params (EMA params in practice,
     training_loop.py:90-112)."""
 
-    @jax.jit
     def eval_step(params, key, x, labels, obs):
         net = denoiser_template.replace_params(params)
         per_sample, _ = loss_fn(net, key, x, labels, obs, train=False)
         return per_sample.mean()
 
-    return eval_step
+    return jax.jit(eval_step) if jit else eval_step

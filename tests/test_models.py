@@ -147,7 +147,8 @@ class TestLosses:
         x = jax.random.normal(jax.random.PRNGKey(7), (4, 8, 8, 1))
 
         class Perfect:
-            def __call__(self, xn, sigma, labels, obs=None, train=False):
+            def __call__(self, xn, sigma, labels, obs=None, train=False,
+                         rngs=None):
                 return x  # returns the clean signal
 
         ps, _ = loss_fn(Perfect(), jax.random.PRNGKey(8), x, None)
