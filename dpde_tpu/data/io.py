@@ -44,6 +44,47 @@ def save_data(
             f.attrs[key] = value
 
 
+class ShardStore:
+    """Idempotent shard store for restartable dataset generation.
+
+    The reference survives datagen interruption only through its
+    interval-sharded output files (reference src/diffusion_pde/pdes/
+    llg.py:195-264: one file per worker interval, merged afterwards); an
+    interrupted run restarts from the last complete interval. This is the
+    same idea without the multiprocessing: while a dataset is being
+    generated, each batch is written atomically (tmp + rename) to
+    ``<final>.shards/shard_<start>.npy``; a rerun of the same command
+    finds the complete shards, skips their computation, and generation
+    continues where it stopped. ``finalize()`` removes the shard
+    directory once the final HDF5 exists.
+    """
+
+    def __init__(self, final_path: str | Path):
+        self.final = Path(final_path)
+        self.dir = self.final.with_name(self.final.name + ".shards")
+
+    def _path(self, start: int) -> Path:
+        return self.dir / f"shard_{start:07d}.npy"
+
+    def has(self, start: int) -> bool:
+        return self._path(start).exists()
+
+    def load(self, start: int) -> np.ndarray:
+        return np.load(self._path(start))
+
+    def save(self, start: int, arr: np.ndarray) -> None:
+        self.dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._path(start).with_suffix(".tmp.npy")
+        np.save(tmp, arr)
+        tmp.rename(self._path(start))
+
+    def finalize(self) -> None:
+        if self.dir.exists():
+            for p in self.dir.iterdir():
+                p.unlink()
+            self.dir.rmdir()
+
+
 @dataclass
 class RawDataset:
     u: np.ndarray                  # (N, ch, H, W, T) reference layout

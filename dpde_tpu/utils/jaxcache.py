@@ -11,9 +11,26 @@ import os
 from pathlib import Path
 
 
+def select_platform() -> None:
+    """Honour ``DPDE_PLATFORM`` (e.g. ``cpu``) via ``jax.config``.
+
+    Some environments pre-import jax through sitecustomize and force the
+    platform list programmatically, which silently overrides the
+    ``JAX_PLATFORMS`` env var — datagen/test runs that must stay off the
+    accelerator need the config-level override. No-op when the variable
+    is unset.
+    """
+    plat = os.environ.get("DPDE_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compilation_cache(cache_dir: str | Path | None = None) -> None:
     import jax
 
+    select_platform()
     if cache_dir is None:
         cache_dir = os.environ.get(
             "DPDE_TPU_JAX_CACHE",

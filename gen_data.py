@@ -24,12 +24,13 @@ from dpde_tpu.utils.jaxcache import enable_compilation_cache
 
 enable_compilation_cache()
 
-from dpde_tpu.data.io import save_data
+from dpde_tpu.data.io import ShardStore, save_data
 from dpde_tpu.physics import heat as heat_phys
 from dpde_tpu.physics import llg as llg_phys
 from dpde_tpu.utils import get_repo_root
 
-logging.basicConfig(level=logging.INFO)
+logging.basicConfig(level=logging.INFO, force=True,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
 logger = logging.getLogger("gen_data")
 
 
@@ -97,14 +98,22 @@ def gen_llg(args):
     # reference schema: sequence (n, t, 3, res_x, res_y), field (n, 3) mT
     # converted to the canonical A/U/labels layout for the datasets module:
     # U (n, 3, res_x, res_y, t), labels = field (n, 3)
+    name = args.out or "llg.hdf5"
+    store = ShardStore(data_dir / name)  # restartable: complete batches
     seqs = np.empty((args.n, args.t_steps, res[0], res[1], 3),
                     dtype=np.float32)
     t0 = time.perf_counter()
     for start in range(0, args.n, args.batch):
         stop = min(start + args.batch, args.n)
+        if store.has(start):
+            seqs[start:stop] = store.load(start)
+            logger.info("  %d/%d trajectories (resumed from shard)",
+                        stop, args.n)
+            continue
         seqs[start:stop] = llg_phys.gen_sequences(
             s_state, fields[start:stop], res=res, grid=grid,
             t_steps=args.t_steps, t_per_step=t_per_step)
+        store.save(start, seqs[start:stop])
         logger.info("  %d/%d trajectories (%.1fs)", stop, args.n,
                     time.perf_counter() - t0)
     logger.info("generated %d LLG trajectories in %.1fs", args.n,
@@ -112,7 +121,6 @@ def gen_llg(args):
 
     u = np.moveaxis(seqs, (1, 4), (4, 1))       # (n, 3, nx, ny, t)
     t_steps_arr = np.arange(args.t_steps, dtype=np.float32) * t_per_step
-    name = args.out or "llg.hdf5"
     path = data_dir / name
     save_data(
         filepath=path, a=u[..., 0], u=u, labels=fields.astype(np.float32),
@@ -122,6 +130,7 @@ def gen_llg(args):
         h_ext_angle=[0, 360], h_ext_norm=[0, 50], seed=args.seed,
         notes="muMAG std-problem-4 trajectories from the JAX LLG solver "
               "[dpde_tpu]")
+    store.finalize()
     logger.info("saved %s", path)
 
 

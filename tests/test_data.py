@@ -116,3 +116,37 @@ class TestValidationView:
         v = ValidationView(data, t_steps, labels)
         items = sum(b["A"].shape[0] for b in v.batches(8, limit=11))
         assert items == 11
+
+
+class TestShardStore:
+    """Restartable datagen (reference mitigates interruption via
+    interval-sharded worker files, llg.py:195-264; here an atomic
+    per-batch shard store)."""
+
+    def test_resume_skips_complete_shards(self, tmp_path):
+        from dpde_tpu.data.io import ShardStore
+
+        final = tmp_path / "out.hdf5"
+        st = ShardStore(final)
+        a0 = np.arange(6, dtype=np.float32).reshape(2, 3)
+        st.save(0, a0)
+        assert st.has(0) and not st.has(2)
+        np.testing.assert_array_equal(st.load(0), a0)
+
+        # a fresh store (new process) sees the same shards
+        st2 = ShardStore(final)
+        assert st2.has(0)
+        st2.save(2, a0 + 1)
+        np.testing.assert_array_equal(st2.load(2), a0 + 1)
+
+        st2.finalize()
+        assert not st2.dir.exists()
+
+    def test_no_partial_shards_visible(self, tmp_path):
+        """Atomicity: only completed renames count as shards."""
+        from dpde_tpu.data.io import ShardStore
+
+        st = ShardStore(tmp_path / "x.hdf5")
+        st.dir.mkdir(parents=True)
+        np.save(st.dir / "shard_0000000.tmp.npy", np.zeros(3))
+        assert not st.has(0)
