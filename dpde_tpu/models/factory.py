@@ -14,9 +14,16 @@ from .precond import Denoiser
 from .unet import EDMUNet, SmallUnet
 
 
-def build_net_from_config(cfg) -> Any:
+def build_net_from_config(cfg, remat: bool | None = None) -> Any:
     """Construct the flax module for cfg.model + cfg.dataset.net
-    (reference utils.py:38-70). Returns the module (uninitialised)."""
+    (reference utils.py:38-70). Returns the module (uninitialised).
+
+    ``remat``: per-ResBlock rematerialisation (EDMUNet only). None reads
+    ``cfg.model.remat`` (default False — the reference workloads fit HBM
+    with the flat tile-aligned device-data layout, data/device_pipeline.py;
+    set cfg.model.remat=true when batch/resolution outgrow the chip). The
+    param pytree is identical either way, so checkpoints are
+    interchangeable."""
     in_ch = cfg.dataset.net.in_ch
     label_ch = cfg.dataset.net.label_ch
     name = cfg.model.name.lower().replace(" ", "-").replace("_", "-")
@@ -31,6 +38,8 @@ def build_net_from_config(cfg) -> Any:
         obs_ch = in_ch if method == "forward" else cfg.model.obs_ch
         dtype_name = cfg.model.get("dtype", "float32")
         dtype = {"float32": None, "bfloat16": jnp.bfloat16}[dtype_name]
+        if remat is None:
+            remat = bool(cfg.model.get("remat", False))
         return EDMUNet(
             img_channels=in_ch,
             label_dim=label_ch,
@@ -42,17 +51,18 @@ def build_net_from_config(cfg) -> Any:
             sigma_emb_dim=cfg.model.noise_ch,
             emb_dim=cfg.model.emb_ch,
             dtype=dtype,
+            remat=remat,
         )
     raise ValueError(f"Unknown model name: {cfg.model.name}")
 
 
 def init_denoiser(cfg, key: jax.Array, sample_shape, num_channels: int,
-                  ) -> tuple[Any, Denoiser]:
+                  remat: bool | None = None) -> tuple[Any, Denoiser]:
     """Initialise module params and bind the EDM-preconditioned denoiser.
 
     sample_shape: (H, W); num_channels: channels of x (in_ch).
     """
-    module = build_net_from_config(cfg)
+    module = build_net_from_config(cfg, remat=remat)
     h, w = sample_shape
     label_ch = cfg.dataset.net.label_ch
     obs_ch = getattr(module, "obs_channels", 0)

@@ -103,7 +103,11 @@ def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
 class ResBlock(nn.Module):
     """EDM-style residual block (nets.py:153-211):
     GN -> SiLU -> conv (stride/upsample variants) -> +emb -> GN -> SiLU ->
-    dropout -> zero-init conv -> +skip, all scaled by 1/sqrt(2)."""
+    dropout -> zero-init conv -> +skip, all scaled by 1/sqrt(2).
+
+    ``train`` is a module attribute (not a call arg) so the block can be
+    wrapped in ``nn.remat`` with purely-array call args — the remat unit
+    for memory-bound training (see EDMUNet.remat)."""
 
     out_ch: int
     up: bool = False
@@ -111,10 +115,11 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     skip_scale: float = 2 ** -0.5
     dtype: jnp.dtype | None = None
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, *,
-                 train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        train = self.train
         in_ch = x.shape[-1]
         dt = self.dtype
         orig = x
@@ -170,6 +175,7 @@ class EDMUNet(nn.Module):
     sigma_emb_dim: int = 64
     emb_dim: int = 256
     dtype: jnp.dtype | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, sigma: jnp.ndarray,
@@ -198,6 +204,13 @@ class EDMUNet(nn.Module):
 
         mults = tuple(self.channel_mults)
         nrb = self.num_res_blocks
+        # per-block rematerialisation: backward recomputes one block's
+        # forward at a time, so the live activation set drops from every
+        # intermediate in the net to the block boundaries (+1 block) —
+        # the standard trade for memory-bound training; param pytree is
+        # unchanged, so remat and no-remat checkpoints are interchangeable
+        RB = (nn.remat(ResBlock, prevent_cse=False) if self.remat
+              else ResBlock)
 
         # ---------------- encoder ----------------
         skips = []
@@ -206,31 +219,31 @@ class EDMUNet(nn.Module):
             if i == 0:
                 x = _conv(out_ch, 3, dtype=dt, name="enc_in")(x)
             else:
-                x = ResBlock(out_ch, down=True, dropout=self.dropout,
-                             dtype=dt,
-                             name=f"enc_{i}_down")(x, emb, train=train)
+                x = RB(out_ch, down=True, dropout=self.dropout,
+                       dtype=dt, train=train,
+                       name=f"enc_{i}_down")(x, emb)
             skips.append(x)
             for j in range(nrb):
-                x = ResBlock(out_ch, dropout=self.dropout, dtype=dt,
-                             name=f"enc_{i}_res{j}")(x, emb, train=train)
+                x = RB(out_ch, dropout=self.dropout, dtype=dt,
+                       train=train, name=f"enc_{i}_res{j}")(x, emb)
                 skips.append(x)
 
         # ---------------- decoder ----------------
         for i in reversed(range(len(mults))):
             out_ch = self.base_channels * mults[i]
             if i == len(mults) - 1:
-                x = ResBlock(out_ch, dropout=self.dropout, dtype=dt,
-                             name=f"dec_{i}_mid0")(x, emb, train=train)
-                x = ResBlock(out_ch, dropout=self.dropout, dtype=dt,
-                             name=f"dec_{i}_mid1")(x, emb, train=train)
+                x = RB(out_ch, dropout=self.dropout, dtype=dt,
+                       train=train, name=f"dec_{i}_mid0")(x, emb)
+                x = RB(out_ch, dropout=self.dropout, dtype=dt,
+                       train=train, name=f"dec_{i}_mid1")(x, emb)
             else:
-                x = ResBlock(x.shape[-1], up=True, dropout=self.dropout,
-                             dtype=dt,
-                             name=f"dec_{i}_up")(x, emb, train=train)
+                x = RB(x.shape[-1], up=True, dropout=self.dropout,
+                       dtype=dt, train=train,
+                       name=f"dec_{i}_up")(x, emb)
             for j in range(nrb + 1):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = ResBlock(out_ch, dropout=self.dropout, dtype=dt,
-                             name=f"dec_{i}_res{j}")(x, emb, train=train)
+                x = RB(out_ch, dropout=self.dropout, dtype=dt,
+                       train=train, name=f"dec_{i}_res{j}")(x, emb)
         assert not skips
 
         x = nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]), epsilon=1e-5,
