@@ -4,9 +4,10 @@ Re-design of the reference test loop (reference: src/diffusion_pde/
 model_testing.py:162-239). The reference iterates test items at batch 1
 and runs a 32-sample guided sampler per item (~2.72 s/item on its GPU,
 BASELINE.md). Here ``items_per_batch`` test items are flattened into one
-sampler batch (item k repeated num_samples times); the reference's
-guidance loss sums over the batch, so per-sample gradients — and thus the
-samples — are identical to per-item runs, while the chip stays saturated.
+sampler batch (item k repeated num_samples times); the sampler takes its
+guidance sqrt-sums per item group (pde_losses.group_sqrt_sum), so every
+item's samples are exactly what a standalone run would produce, while the
+chip stays saturated.
 
 Metrics match the reference exactly: per-item MAE over samples, relative
 error normalised by per-channel range, per-sample std; running ``rel MAE``
@@ -28,6 +29,18 @@ from ..utils import metrics as metrics_mod
 logger = logging.getLogger(__name__)
 
 
+@jax.jit
+def _item_metrics(smp, obs):
+    """(K, s, H, W, C) samples + (K, H, W, C) truth -> per-item mean-abs
+    error over samples and per-pixel sample std (model_testing.py:216-228),
+    reduced on device so only K/s of the sample bytes cross the link."""
+    import jax.numpy as jnp
+
+    item_mae = jnp.abs(obs[:, None] - smp).mean(axis=1)
+    smp_std = smp.std(axis=1)
+    return item_mae, smp_std
+
+
 def test_loop(
     sampler,
     validation_view,
@@ -41,8 +54,15 @@ def test_loop(
     items_per_batch: int = 1,
     seed: int = 0,
     save_path: str | Path = "validation_data.npz",
+    mesh=None,
 ):
     """Run guided sampling over the validation view and accumulate errors.
+
+    With ``mesh`` (a 1-D data mesh), the flattened item x sample batch is
+    sharded over the mesh's devices — items are independent, so guided
+    sampling scales linearly across chips (the v5e-8 throughput path;
+    parity with the unsharded run is tested in
+    tests/test_parallel.py::test_dp_guided_sampling_matches_single_device).
 
     Returns dict with MAE, denom_abs, denom_range, std arrays and
     ch_rel_error; also writes ``save_path`` (reference model_testing.py:
@@ -67,6 +87,16 @@ def test_loop(
     key = jax.random.PRNGKey(seed)
     t_start = time.perf_counter()
     done = 0
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        sh = batch_sharding(mesh)
+        shard = lambda x: (jax.device_put(x, sh) if x is not None
+                           and x.shape[0] % mesh.devices.size == 0 else x)
+    else:
+        shard = lambda x: x
+
     try:
         for batch in validation_view.batches(items_per_batch,
                                              limit=num_items):
@@ -75,8 +105,10 @@ def test_loop(
             labels = batch["labels"]           # (K, L) or None
             k = a.shape[0]
 
-            # flatten items x samples into one sampler batch
-            rep = lambda x: np.repeat(x, s, axis=0) if x is not None else None
+            # flatten items x samples into one sampler batch (sharded over
+            # the mesh when one is given)
+            rep = lambda x: (shard(np.repeat(x, s, axis=0))
+                             if x is not None else None)
             obs_a = rep(a[..., :ch_a] if a.shape[-1] >= ch_a else a)
             obs_u = rep(u[..., :c - ch_a])
             lab = rep(labels)
@@ -85,13 +117,16 @@ def test_loop(
             samples, _ = sampler.sample(
                 k_s, lab, obs_a, obs_u, mask_a, mask_u,
                 zeta_a, zeta_u, zeta_pde)
-            smp = np.asarray(samples).reshape(k, s, h, w, c)
             obs = np.concatenate([a, u], axis=-1)            # (K, H, W, C)
 
-            item_mae = np.abs(obs[:, None] - smp).mean(axis=1)  # (K,H,W,C)
+            # metrics reduce ON DEVICE: fetching the raw sample batch
+            # (K*s*H*W*C floats) over a tunneled device link costs more
+            # than the sampling itself; the per-item MAE/std maps are s
+            # times smaller (and exact in float32 before the fetch)
+            item_mae, smp_std = jax.device_get(_item_metrics(
+                samples.reshape(k, s, h, w, c), jax.device_put(obs)))
             d_abs = np.abs(obs)
             d_range = obs.max(axis=(1, 2)) - obs.min(axis=(1, 2))  # (K, C)
-            smp_std = smp.std(axis=1)
 
             to_chw = lambda x: np.moveaxis(x, -1, 1)
             mae[done:done + k] = to_chw(item_mae)

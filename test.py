@@ -108,6 +108,13 @@ def main(cfg):
         dataset_name, method, model_name, "test", cfg.to_dict(),
         suffix="test"))
 
+    # data-parallel sampling: shard the item x sample batch over all
+    # available devices (single-chip here degenerates to one shard; on a
+    # v5e-8 pod slice each chip carries items_per_batch*batch_size/8 rows)
+    from dpde_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+
     save_dir = Path(cfg.run.dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     return test_loop(
@@ -123,6 +130,7 @@ def main(cfg):
         items_per_batch=cfg.run.items_per_batch,
         seed=cfg.run.seed,
         save_path=save_dir / "validation_data.npz",
+        mesh=mesh,
     )
 
 

@@ -108,3 +108,53 @@ def test_dp_train_step_matches_single_device():
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_dp_guided_sampling_matches_single_device():
+    """Data-parallel sampling (VERDICT round-1 item 6): the flattened
+    item x sample batch sharded over the mesh must produce the same
+    samples as the unsharded run — items are independent, XLA only adds
+    the per-item guidance reductions over ICI."""
+    from dpde_tpu.models import Denoiser, EDMUNet
+    from dpde_tpu.parallel.mesh import batch_sharding
+    from dpde_tpu.sampling import JointSampler, pde_losses
+
+    net = EDMUNet(img_channels=2, label_dim=2, base_channels=32,
+                  channel_mults=(1, 2), num_res_blocks=1)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 2)),
+                      jnp.ones(1), jnp.zeros((1, 2)), None)
+    apply_fn = lambda p, xx, ss, ll, oo, train=False, rngs=None: \
+        net.apply(p, xx, ss, ll, oo, train=train)
+    den = Denoiser(apply_fn, params)
+
+    s_per, k = 4, 4                      # 16 rows over 8 devices
+    b = s_per * k
+    rng = np.random.default_rng(5)
+    h = w = 16
+    mask = np.zeros((h, w), bool)
+    mask[1:-1, 1:-1] = rng.random((h - 2, w - 2)) < 0.3
+    obs_a = rng.standard_normal((b, h, w, 1)).astype(np.float32)
+    obs_u = rng.standard_normal((b, h, w, 1)).astype(np.float32)
+    labels = rng.uniform(0.2, 1.0, (b, 2)).astype(np.float32)
+    latents = rng.standard_normal((b, h, w, 2)).astype(np.float32)
+
+    sampler = JointSampler(den, (h, w), 2, s_per, ch_a=1,
+                           loss_fn=pde_losses.heat_loss2,
+                           loss_kwargs={"dx": 1 / (w - 1)}, num_steps=5)
+
+    x_ref, l_ref = sampler.sample(
+        jax.random.PRNGKey(0), jnp.asarray(labels), obs_a, obs_u,
+        mask, mask, 2.0, 0.5, 1.0, return_losses=True,
+        latents=jnp.asarray(latents))
+
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+    put = lambda a: jax.device_put(jnp.asarray(a), sh)
+    x_dp, l_dp = sampler.sample(
+        jax.random.PRNGKey(0), put(labels), put(obs_a), put(obs_u),
+        mask, mask, 2.0, 0.5, 1.0, return_losses=True,
+        latents=put(latents))
+
+    np.testing.assert_allclose(np.asarray(x_dp), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(l_dp, l_ref, rtol=1e-3, atol=1e-5)
