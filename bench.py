@@ -1,27 +1,61 @@
-"""Headline benchmark: guided-sampling throughput.
+"""Headline benchmark: guided-sampling throughput + sampling-loss parity.
 
-Measures the BASELINE metric (BASELINE.md row 1): test items per second at
-the heat_logt_joint evaluation configuration — each item is one 50-step
-JointSampler run over a batch of 32 samples on the 64x64 unet-v2 joint
-heat model with jvp time derivatives and full guidance (obs_a + obs_u +
-heat PDE residual). Reference: 2.72 s/item (0.368 items/s) on the DTU GPU.
+BASELINE.md row 1-3 metrics at the heat_logt_joint evaluation
+configuration — each test item is one 50-step JointSampler run over a
+batch of 32 samples on the 64x64 unet-v2 joint heat model with jvp time
+derivatives and full guidance (obs_a + obs_u + heat PDE residual).
+Reference: 2.72 s/item (0.368 items/s) on the DTU GPU; final loss_pde
+~5.2e-2 at 50 steps; test-set ch-0 relative error 0.0726
+(/root/reference/nohup.out final lines).
+
+Two modes:
+  * trained mode (default when pretrained_models/heat_logt_joint/ema_model
+    and data/heat_lineart_test.hdf5 exist): real checkpoint, real test
+    items, reference masks (interior_a = boundary_a = 0.2, u unobserved)
+    — reports items/s AND the final guidance losses at 50 steps plus
+    channel relative errors over a small item subset;
+  * synthetic fallback (fresh checkout without artifacts): random net +
+    random observations — throughput only, loss fields omitted.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": N, ...}
 
-`vs_baseline` is the speedup over the reference GPU baseline. Extra detail
-(per-config timings) goes to stderr.
+Set BENCH_STEPS="20,50,200" to sweep step counts (extra compiles; the
+committed benchmarks/ results cover the full curve).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-BASELINE_ITEMS_PER_S = 1.0 / 2.72   # reference GPU (BASELINE.md)
+BASELINE_ITEMS_PER_S = 1.0 / 2.72   # reference GPU (BASELINE.md row 1)
+REF_LOSS_PDE = {20: 5.3e-2, 50: 5.22e-2, 200: 5.02e-2}  # BASELINE.md row 3
+REF_CH_REL_ERROR = (0.0726, 1.6755)                     # BASELINE.md row 2
+
+ROOT = Path(__file__).parent
+CKPT = ROOT / "pretrained_models" / "heat_logt_joint" / "ema_model"
+TEST_DATA = ROOT / "data" / "heat_lineart_test.hdf5"
+
+
+def _build_denoiser(jax, jnp, params=None):
+    from dpde_tpu.models import Denoiser, EDMUNet
+
+    net = EDMUNet(img_channels=2, label_dim=2, dtype=jnp.bfloat16)
+    if params is None:
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 2), jnp.float32),
+                          jnp.ones((1,)), jnp.zeros((1, 2)), None)
+
+    def apply_fn(p, xx, ss, ll, oo, train=False, rngs=None):
+        return net.apply(p, xx, ss, ll, oo, train=train)
+
+    return Denoiser(apply_fn, params)
 
 
 def main():
@@ -32,75 +66,139 @@ def main():
 
     enable_compilation_cache()
 
-    from dpde_tpu.models import Denoiser, EDMUNet
     from dpde_tpu.sampling import JointSampler, pde_losses
 
     h = w = 64
     num_samples = 32      # reference sampling_conf batch_size
-    num_steps = 50
     items_per_batch = 4   # items flattened into one device batch
-
-    # bfloat16 activations (the forward is HBM-bandwidth-bound; params and
-    # the EDM preconditioner stay float32). At bf16 both Heun evals'
-    # activations fit HBM, so sampling runs without rematerialisation.
-    net = EDMUNet(img_channels=2, label_dim=2, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, h, w, 2), jnp.float32)
-    params = net.init(jax.random.PRNGKey(0), x0, jnp.ones((1,)),
-                      jnp.zeros((1, 2)), None)
-
-    def apply_fn(p, xx, ss, ll, oo, train=False, rngs=None):
-        return net.apply(p, xx, ss, ll, oo, train=train)
-
-    den = Denoiser(apply_fn, params)
-
+    step_counts = [int(s) for s in
+                   os.environ.get("BENCH_STEPS", "50").split(",")]
     b = num_samples * items_per_batch
+
+    trained = CKPT.exists() and TEST_DATA.exists()
+    extra: dict = {}
+
+    if trained:
+        from dpde_tpu.data import get_validation_view
+        from dpde_tpu.data.io import load_attr
+        from dpde_tpu.eval.masks import (
+            combine_masks,
+            random_boundary_mask,
+            random_interior_mask,
+        )
+        from dpde_tpu.training import load_pretrained_params
+
+        den0 = _build_denoiser(jax, jnp)
+        params = load_pretrained_params(CKPT, den0.params)
+        den = den0.replace_params(params)
+        dx = float(load_attr(TEST_DATA, "dx"))
+
+        view = get_validation_view(str(TEST_DATA), time_as_label=True,
+                                   include_t0_as_target=False)
+        # reference nohup run: interior_a = boundary_a = 0.2, u unobserved,
+        # same_boundary=True (conf/test.yaml + model_testing.py:127-159)
+        rng = np.random.default_rng(0)
+        interior_a = random_interior_mask(h, w, frac_obs=0.2, rng=rng)
+        boundary_a = random_boundary_mask(h, w, frac_obs=0.2, rng=rng)
+        mask_a = combine_masks(interior_a, boundary_a)
+        mask_u = combine_masks(np.zeros((h, w), bool), boundary_a)
+
+        batch = next(iter(view.batches(items_per_batch)))
+        rep = lambda x: (np.repeat(x, num_samples, axis=0)
+                         if x is not None else None)
+        obs_a = rep(batch["A"])
+        obs_u = rep(batch["U"])
+        labels = jnp.asarray(rep(batch["labels"]), jnp.float32)
+        truth_a, truth_u = batch["A"], batch["U"]
+    else:
+        print("bench: no trained checkpoint/test data — synthetic mode",
+              file=sys.stderr)
+        den = _build_denoiser(jax, jnp)
+        dx = 1.0 / (w - 1)
+        rng = np.random.default_rng(0)
+        obs_a = rng.standard_normal((b, h, w, 1)).astype(np.float32) * 0.3
+        obs_u = rng.standard_normal((b, h, w, 1)).astype(np.float32) * 0.3
+        mask_a = np.zeros((h, w), bool)
+        mask_a[1:-1, 1:-1] = rng.random((h - 2, w - 2)) < 0.2
+        mask_a[[0, -1], :] = mask_a[:, [0, -1]] = True
+        mask_u = mask_a
+        labels = jnp.asarray(
+            np.concatenate([rng.uniform(0.1, 0.5, (b, 1)),
+                            rng.uniform(0.1, 1.5, (b, 1))], axis=1),
+            jnp.float32)
+        truth_a = truth_u = None
+
     sampler = JointSampler(
-        den, (h, w), 2, b, ch_a=1,
-        loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": 1.0 / (w - 1)},
-        num_steps=num_steps, remat=False,
+        den, (h, w), 2, num_samples, ch_a=1,
+        loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": dx},
+        num_steps=50, remat=False,
     )
 
-    rng = np.random.default_rng(0)
-    obs_a = rng.standard_normal((b, h, w, 1)).astype(np.float32) * 0.3
-    obs_u = rng.standard_normal((b, h, w, 1)).astype(np.float32) * 0.3
-    mask_a = np.zeros((h, w), bool)
-    mask_a[1:-1, 1:-1] = rng.random((h - 2, w - 2)) < 0.2   # interior 0.2
-    mask_a[[0, -1], :] = mask_a[:, [0, -1]] = True
-    mask_u = mask_a
-    labels = jnp.asarray(
-        np.concatenate([rng.uniform(0.1, 0.5, (b, 1)),
-                        rng.uniform(0.1, 1.5, (b, 1))], axis=1),
-        jnp.float32)
+    # reference-tuned guidance weights (conf/sampling_conf/heat_logt_joint)
+    zetas = (20.0, 0.5, 20.0)
 
-    def run(key):
-        x, _ = sampler.sample(key, labels, obs_a, obs_u, mask_a, mask_u,
-                              20.0, 0.5, 20.0)
-        return x
+    def run(key, num_steps, return_losses=False):
+        return sampler.sample(key, labels, obs_a, obs_u, mask_a, mask_u,
+                              zetas[0], zetas[1], zetas[2],
+                              num_steps=num_steps,
+                              return_losses=return_losses)
 
-    # compile + warmup
-    t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(1))
-    out.block_until_ready()
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    items_per_s = None
+    for num_steps in step_counts:
+        t0 = time.perf_counter()
+        x, losses = run(jax.random.PRNGKey(1), num_steps,
+                        return_losses=True)
+        x.block_until_ready()
+        compile_s = time.perf_counter() - t0
+        print(f"[{num_steps} steps] compile+first run: {compile_s:.1f}s",
+              file=sys.stderr)
 
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = run(jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        # final per-item losses (num_steps, K, 4) or (num_steps, 4)
+        fin = np.asarray(losses)[-1].reshape(-1, 4).mean(axis=0)
+        extra[f"final_loss_a_{num_steps}"] = round(float(fin[0]), 5)
+        extra[f"final_loss_u_{num_steps}"] = round(float(fin[1]), 5)
+        extra[f"final_loss_pde_{num_steps}"] = round(float(fin[2]), 5)
+        extra[f"ref_loss_pde_{num_steps}"] = REF_LOSS_PDE.get(num_steps)
 
-    items = reps * items_per_batch
-    items_per_s = items / elapsed
-    print(f"{items} items in {elapsed:.2f}s on {jax.devices()[0]}",
-          file=sys.stderr)
+        if num_steps == 50:
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out, _ = run(jax.random.PRNGKey(2 + i), 50)
+            out.block_until_ready()
+            elapsed = time.perf_counter() - t0
+            items_per_s = reps * items_per_batch / elapsed
+            print(f"{reps * items_per_batch} items in {elapsed:.2f}s on "
+                  f"{jax.devices()[0]}", file=sys.stderr)
+
+            if trained:
+                # test_loop metric: per-item mean-over-samples MAE divided
+                # by the item's per-channel range (eval/test_loop.py)
+                xs = np.asarray(x, np.float32).reshape(
+                    items_per_batch, num_samples, h, w, 2)
+                obs = np.concatenate([truth_a, truth_u], axis=-1)
+                item_mae = np.abs(obs[:, None] - xs).mean(axis=1)
+                d_range = obs.max(axis=(1, 2)) - obs.min(axis=(1, 2))
+                rel = (item_mae / d_range[:, None, None, :]).mean(
+                    axis=(0, 1, 2))
+                extra["ch_rel_error_a"] = round(float(rel[0]), 4)
+                extra["ch_rel_error_u"] = round(float(rel[1]), 4)
+                extra["ref_ch_rel_error"] = REF_CH_REL_ERROR
+
+    if items_per_s is None:   # 50 not in BENCH_STEPS — time the first one
+        ns = step_counts[0]
+        t0 = time.perf_counter()
+        out, _ = run(jax.random.PRNGKey(9), ns)
+        out.block_until_ready()
+        items_per_s = items_per_batch / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "guided_sampling_throughput_heat_joint_50step_b32",
         "value": round(items_per_s, 4),
         "unit": "items/s",
         "vs_baseline": round(items_per_s / BASELINE_ITEMS_PER_S, 2),
+        "trained_checkpoint": trained,
+        **extra,
     }))
 
 
