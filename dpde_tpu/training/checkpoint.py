@@ -49,8 +49,47 @@ class CheckpointManager:
         return self.restore_state(name, template)
 
 
-def load_pretrained_params(path: str | Path, template: Any) -> Any:
+def load_pretrained_params(path: str | Path, template: Any,
+                           partial: bool = False) -> Any:
     """Load a weights-only checkpoint for fine-tune / test entry points
-    (reference fine_tune.py:75-77, test2.py:79)."""
+    (reference fine_tune.py:75-77, test2.py:79).
+
+    ``partial=True`` enables cross-architecture warm starts (e.g. the
+    2-channel heat model seeding the 6-channel LLG model, BASELINE.json
+    configs[3]): leaves whose path AND shape match the template are taken
+    from the checkpoint; the rest (in/out convs, label embedding) keep
+    the template's fresh initialisation. Returns (params, report) where
+    report lists loaded/skipped leaf paths."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).resolve(), target=template)
+    if not partial:
+        return ckptr.restore(Path(path).resolve(), target=template)
+
+    stored = ckptr.restore(Path(path).resolve())   # raw tree, no template
+    flat_stored = _flatten_with_paths(stored)
+    loaded, skipped = [], []
+
+    def merge(p, leaf):
+        src = flat_stored.get(p)
+        if src is not None and np.shape(src) == np.shape(leaf) and \
+                np.asarray(src).dtype.kind == np.asarray(leaf).dtype.kind:
+            loaded.append(p)
+            return jax.numpy.asarray(src, dtype=leaf.dtype)
+        skipped.append(p)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: merge(_keystr(kp), leaf), template)
+    return out, {"loaded": loaded, "skipped": skipped}
+
+
+def _keystr(kp) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+        for k in kp)
+
+
+def _flatten_with_paths(tree: Any) -> dict:
+    out = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        out[_keystr(kp)] = leaf
+    return out

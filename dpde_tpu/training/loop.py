@@ -139,8 +139,13 @@ def train(
 
     dev = None
     if device_data == "auto":
+        # the fused whole-epoch program is an accelerator win but an
+        # XLA:CPU compile sink (tens of minutes at real model sizes for a
+        # program the host then executes slowly anyway) — CPU runs are
+        # tests/smoke only, so keep them on the per-step path
         device_data = (_iterable_spec(train_iter) is not None
-                       and train_iter.data.nbytes < 8 * 2 ** 30)
+                       and train_iter.data.nbytes < 8 * 2 ** 30
+                       and jax.default_backend() != "cpu")
     if device_data:
         dev = _build_device_path(denoiser, loss_fn, tx, ema_cfg,
                                  train_iter, val_iter, mesh)

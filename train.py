@@ -53,8 +53,22 @@ def build_and_train(cfg, *, pretrained_path: str | None = None,
         from dpde_tpu.training import load_pretrained_params
 
         logger.info("loading pretrained weights from %s", pretrained_path)
-        denoiser = denoiser.replace_params(
-            load_pretrained_params(pretrained_path, denoiser.params))
+        try:
+            denoiser = denoiser.replace_params(
+                load_pretrained_params(pretrained_path, denoiser.params))
+        except Exception:
+            # cross-architecture warm start (e.g. 2ch heat -> 6ch LLG,
+            # BASELINE.json configs[3]): take every leaf whose path and
+            # shape match, keep fresh init for the rest
+            params, report = load_pretrained_params(
+                pretrained_path, denoiser.params, partial=True)
+            logger.info(
+                "partial warm start: %d leaves loaded, %d kept at init "
+                "(shape/arch mismatch): %s", len(report["loaded"]),
+                len(report["skipped"]), report["skipped"][:8])
+            if not report["loaded"]:
+                raise
+            denoiser = denoiser.replace_params(params)
 
     loss_fn = build_loss_from_config(cfg)
 
