@@ -36,7 +36,7 @@ from dpde_tpu.training import load_pretrained_params  # noqa: E402
 from dpde_tpu.utils import enable_compilation_cache, resolve_data_path  # noqa: E402
 from dpde_tpu.utils.config import main as config_main  # noqa: E402
 
-logging.basicConfig(level=logging.INFO)
+logging.basicConfig(level=logging.INFO, force=True)
 logger = logging.getLogger("validate_rmse")
 
 
