@@ -43,6 +43,24 @@ CKPT = ROOT / "pretrained_models" / "heat_logt_joint" / "ema_model"
 TEST_DATA = ROOT / "data" / "heat_lineart_test.hdf5"
 
 
+def _ensure_test_data():
+    """data/ is gitignored; the lineart test set is cheap (exact DST
+    solver, ~20 s) and deterministic, so regenerate it on demand instead
+    of shipping 180 MB in git. Recipe: 100 trajectories, linear time
+    spacing, seed 1 (distinct from the seed-0 training set)."""
+    if TEST_DATA.exists():
+        return
+    print("bench: generating data/heat_lineart_test.hdf5 (seed 1)...",
+          file=sys.stderr)
+    import subprocess
+    subprocess.run(
+        [sys.executable, str(ROOT / "gen_data.py"), "heat", "--n", "100",
+         "--batch", "50", "--spacing", "linear", "--seed", "1",
+         "--out", "heat_lineart_test.hdf5"],
+        check=True, env={**os.environ, "DPDE_PLATFORM":
+                         os.environ.get("DPDE_PLATFORM", "cpu")})
+
+
 def _build_denoiser(jax, jnp, params=None):
     from dpde_tpu.models import Denoiser, EDMUNet
 
@@ -75,6 +93,8 @@ def main():
                    os.environ.get("BENCH_STEPS", "50").split(",")]
     b = num_samples * items_per_batch
 
+    if CKPT.exists():
+        _ensure_test_data()
     trained = CKPT.exists() and TEST_DATA.exists()
     extra: dict = {}
 
@@ -195,15 +215,26 @@ def main():
     # Items are independent and test_loop shards the flattened item batch
     # over the mesh's data axis (parity proven on the 8-device virtual
     # mesh, tests/test_parallel.py::test_dp_guided_sampling_matches_
-    # single_device), so 8-chip DP sampling aggregates ~linearly. The
-    # true 10x-of-reference target is 3.68 items/s (10 / 2.72 s);
-    # BASELINE.md's ">=27 items/s" note mis-multiplied.
+    # single_device and the dryrun's sharded-sampler leg), so 8-chip DP
+    # sampling aggregates ~linearly.
     print(json.dumps({
         "metric": "guided_sampling_throughput_heat_joint_50step_b32",
         "value": round(items_per_s, 4),
         "unit": "items/s",
         "vs_baseline": round(items_per_s / BASELINE_ITEMS_PER_S, 2),
+        # BASELINE.md row 1 companions (18.4 guided steps/s, 11.8
+        # samples/s on the reference GPU): one item = 50 guided steps
+        # over a 32-sample batch
+        "guided_steps_per_s": round(items_per_s * 50, 1),
+        "samples_per_s": round(items_per_s * num_samples, 1),
         "projected_v5e8_items_per_s": round(items_per_s * 8, 2),
+        # Both forms of the 10x-vs-reference north star: the literal
+        # BASELINE.md figure and the derived one. They are inconsistent
+        # with each other: 10x of 0.368 items/s (= 1/2.72 s per item) is
+        # 3.68 items/s; ">=27" multiplies the *seconds per item* (2.72)
+        # by 10 and reads the product as a rate.
+        "target_items_per_s_derived_10x": 3.68,
+        "target_items_per_s_baseline_literal": 27.0,
         "trained_checkpoint": trained,
         **extra,
     }))
