@@ -31,6 +31,10 @@ def main():
     np.save(out / "std4_s_state.npy", s)
     print(f"relaxed in {time.perf_counter() - t0:.1f}s; "
           f"<m> = {s.mean(axis=(0, 1))}; saved {out/'std4_s_state.npy'}")
+    print("NOTE: update the 'Golden provenance' paragraph in "
+          "tests/test_std4_golden.py with the generating commit hash, and "
+          "re-run the published-value gates (pytest tests/test_std4_golden"
+          ".py) before committing the regenerated file.")
 
 
 if __name__ == "__main__":
