@@ -27,10 +27,34 @@ def select_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def apply_compile_effort() -> None:
+    """Optional XLA compile-effort overrides from the environment.
+
+    The guided-sampler programs take many minutes to build at XLA's
+    default effort (BENCH_r01/r02 paid ~18 min per shape). These knobs
+    trade compile time against (possibly) runtime:
+
+      DPDE_OPT_LEVEL    = O0|O1|O2|O3   -> jax_optimization_level
+      DPDE_EXEC_EFFORT  = float in [-1, 1] -> jax_exec_time_optimization_effort
+
+    Unset = XLA defaults. NOTE: these feed the compilation-cache key, so
+    benchmark runs must use the same values that warmed the cache.
+    """
+    import jax
+
+    lvl = os.environ.get("DPDE_OPT_LEVEL")
+    if lvl:
+        jax.config.update("jax_optimization_level", lvl)
+    eff = os.environ.get("DPDE_EXEC_EFFORT")
+    if eff:
+        jax.config.update("jax_exec_time_optimization_effort", float(eff))
+
+
 def enable_compilation_cache(cache_dir: str | Path | None = None) -> None:
     import jax
 
     select_platform()
+    apply_compile_effort()
     if cache_dir is None:
         cache_dir = os.environ.get(
             "DPDE_TPU_JAX_CACHE",
