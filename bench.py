@@ -66,9 +66,16 @@ def _build_denoiser(jax, jnp, params=None):
 
     net = EDMUNet(img_channels=2, label_dim=2, dtype=jnp.bfloat16)
     if params is None:
-        params = net.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, 64, 64, 2), jnp.float32),
-                          jnp.ones((1,)), jnp.zeros((1, 2)), None)
+        # init on host CPU in ONE jitted program, then one device_put:
+        # eager init is ~250 separate dispatches, each paying the
+        # tunneled-TPU round trip (~2 s each — the bulk of the r1/r2
+        # 18-minute "compile" was exactly this)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.jit(net.init, backend="cpu")(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 64, 64, 2), jnp.float32),
+                jnp.ones((1,)), jnp.zeros((1, 2)), None)
+        params = jax.device_put(params, jax.devices()[0])
 
     def apply_fn(p, xx, ss, ll, oo, train=False, rngs=None):
         return net.apply(p, xx, ss, ll, oo, train=train)

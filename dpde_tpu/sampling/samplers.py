@@ -67,12 +67,18 @@ class UnconditionalSampler:
         sigmas = jnp.asarray(
             karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
                           self.rho), dtype=jnp.float32)
-        return self._jit(key, sigmas, labels, net_obs,
+        # self.net rides along as a jit ARGUMENT (it is a pytree), not a
+        # closure: closed-over params become constants baked into the
+        # lowered HLO — megabytes of literals fetched leaf-by-leaf at
+        # trace time (minutes over a tunneled device link) and a separate
+        # compile-cache entry per checkpoint. As an input, the program is
+        # weight-independent: one compile serves every checkpoint.
+        return self._jit(self.net, key, sigmas, labels, net_obs,
                          num_steps=num_steps,
                          have_labels=labels is not None,
                          have_obs=net_obs is not None)
 
-    def _sample(self, key, sigmas, labels, net_obs, *, num_steps,
+    def _sample(self, net, key, sigmas, labels, net_obs, *, num_steps,
                 have_labels, have_obs):
         b = labels.shape[0] if have_labels else self.num_samples
         h, w = self.sample_shape
@@ -81,8 +87,8 @@ class UnconditionalSampler:
 
         def dx(x, sigma):
             s = jnp.full((b,), sigma, dtype=jnp.float32)
-            x_n = self.net(x, s, labels if have_labels else None,
-                           net_obs if have_obs else None)
+            x_n = net(x, s, labels if have_labels else None,
+                      net_obs if have_obs else None)
             return (x - x_n) / sigma
 
         if self.remat:
@@ -155,8 +161,9 @@ class JointSampler:
         sigmas = jnp.asarray(
             karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
                           self.rho), dtype=jnp.float32)
+        # net passed as a pytree argument — see UnconditionalSampler.sample
         x, losses = self._jit(
-            key, sigmas,
+            self.net, key, sigmas,
             labels,
             jnp.asarray(obs_a, jnp.float32),
             jnp.asarray(obs_u, jnp.float32),
@@ -174,8 +181,8 @@ class JointSampler:
             return x, (losses[:, 0] if losses.shape[1] == 1 else losses)
         return x, None
 
-    def _sample(self, key, sigmas, labels, obs_a, obs_u, mask_a, mask_u,
-                zeta_a, zeta_u, zeta_pde, latents, *, num_steps,
+    def _sample(self, net, key, sigmas, labels, obs_a, obs_u, mask_a,
+                mask_u, zeta_a, zeta_u, zeta_pde, latents, *, num_steps,
                 have_labels):
         b = labels.shape[0] if have_labels else self.num_samples
         k_items = max(1, b // self.num_samples)   # flattened test items
@@ -191,7 +198,7 @@ class JointSampler:
 
         def eval_net(x, sigma):
             s = jnp.full((b,), sigma, dtype=jnp.float32)
-            return self.out_and_grad_fn(self.net, x, s, lbl)
+            return self.out_and_grad_fn(net, x, s, lbl)
 
         def eval_plain(x, sigma):
             # first Heun eval: its time derivative is discarded (only the
@@ -199,7 +206,7 @@ class JointSampler:
             # use of the second out_and_grad call, sample.py:331-347), so
             # skip the tangent computation entirely (~1 fwd vs ~2.2).
             s = jnp.full((b,), sigma, dtype=jnp.float32)
-            return self.net(x, s, lbl)
+            return net(x, s, lbl)
 
         if self.remat:
             eval_net = jax.checkpoint(eval_net)
@@ -295,8 +302,9 @@ class ForwardConditionedSampler:
         sigmas = jnp.asarray(
             karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
                           self.rho), dtype=jnp.float32)
+        # net passed as a pytree argument — see UnconditionalSampler.sample
         x, losses = self._jit(
-            key, sigmas, labels,
+            self.net, key, sigmas, labels,
             jnp.asarray(obs_u, jnp.float32),
             jnp.asarray(mask_u, jnp.float32),
             net_obs,
@@ -308,7 +316,7 @@ class ForwardConditionedSampler:
             return x, (losses[:, 0] if losses.shape[1] == 1 else losses)
         return x, None
 
-    def _sample(self, key, sigmas, labels, obs_u, mask_u, net_obs,
+    def _sample(self, net, key, sigmas, labels, obs_u, mask_u, net_obs,
                 zeta_u, zeta_pde, *, num_steps, have_labels):
         b = labels.shape[0] if have_labels else self.num_samples
         k_items = max(1, b // self.num_samples)
@@ -321,12 +329,12 @@ class ForwardConditionedSampler:
 
         def eval_net(x, sigma):
             s = jnp.full((b,), sigma, dtype=jnp.float32)
-            bound = lambda xx, ss, ll: self.net(xx, ss, ll, net_obs)
+            bound = lambda xx, ss, ll: net(xx, ss, ll, net_obs)
             return self.out_and_grad_fn(bound, x, s, lbl)
 
         def eval_plain(x, sigma):
             s = jnp.full((b,), sigma, dtype=jnp.float32)
-            return self.net(x, s, lbl, net_obs)
+            return net(x, s, lbl, net_obs)
 
         if self.remat:
             eval_net = jax.checkpoint(eval_net)

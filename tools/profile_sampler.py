@@ -91,7 +91,7 @@ def main():
     # split trace/lower (python) from XLA compile (backend) — the r1/r2
     # 18-minute cold starts need attribution before they can be fixed
     t0 = time.perf_counter()
-    lowered = sampler._jit.lower(*args, num_steps=num_steps,
+    lowered = sampler._jit.lower(sampler.net, *args, num_steps=num_steps,
                                  have_labels=True)
     lower_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -110,14 +110,14 @@ def main():
     trace_dir = os.environ.get("PROFILE_TRACE")
     reps = int(os.environ.get("REPS", "3"))
 
-    out = compiled(*args)
+    out = compiled(sampler.net, *args)
     jax.block_until_ready(out)          # warmup exec
 
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = compiled(*args)
+        out = compiled(sampler.net, *args)
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / reps
     if trace_dir:
