@@ -23,6 +23,13 @@ python gen_data.py llg --n 20 --batch 20 --t-steps 500 --seed 7 \
     --out llg_test.hdf5 > runs_r3/gen_llg_test.log 2>&1 || exit 1
 
 # 4. flagship training: reference recipe (batch 64, lr 1e-4, 1000 epochs,
-#    EMA 0.999/20, val every 10, ckpt every 20)
-python train.py dataset=heat_eq_logt_joint model=unetv2 \
-    run.dir=/root/repo/runs_r3 > runs_r3/train_heat.log 2>&1
+#    EMA 0.999/20, val every 10, ckpt every 20). Gated behind
+#    PHASE0_TRAIN (ADVICE r3, low): the flagship checkpoint is committed
+#    in git — rerunning this script to regenerate data/ must not burn
+#    hours retraining it.
+if [ -n "$PHASE0_TRAIN" ]; then
+  python train.py dataset=heat_eq_logt_joint model=unetv2 \
+      run.dir=/root/repo/runs_r3 > runs_r3/train_heat.log 2>&1
+else
+  echo "phase0: skipping training (set PHASE0_TRAIN=1 to retrain)"
+fi

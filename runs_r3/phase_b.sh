@@ -5,15 +5,23 @@ set -x
 cd /root/repo
 
 # P1: promote EMA checkpoint (final ema_model if training completed, else
-# the best-val EMA checkpoint persisted every checkpoint_interval epochs)
+# the best-val EMA checkpoint persisted every checkpoint_interval epochs).
+# Guarded: if no fresh training run exists (run dirs are gitignored and
+# wiped on VM restart), keep the committed checkpoint untouched instead
+# of deleting it and silently dropping bench into synthetic mode
+# (ADVICE r3, medium).
 SRC=runs_r3/heat_logt_joint_unet-v2
-mkdir -p pretrained_models/heat_logt_joint
-rm -rf pretrained_models/heat_logt_joint/ema_model
-if [ -d "$SRC/ema_model" ]; then
-  cp -r "$SRC/ema_model" pretrained_models/heat_logt_joint/ema_model
+if [ -d "$SRC/ema_model" ] || [ -d "$SRC/checkpoints/ema_model_best" ]; then
+  mkdir -p pretrained_models/heat_logt_joint
+  rm -rf pretrained_models/heat_logt_joint/ema_model
+  if [ -d "$SRC/ema_model" ]; then
+    cp -r "$SRC/ema_model" pretrained_models/heat_logt_joint/ema_model
+  else
+    cp -r "$SRC/checkpoints/ema_model_best" \
+          pretrained_models/heat_logt_joint/ema_model
+  fi
 else
-  cp -r "$SRC/checkpoints/ema_model_best" \
-        pretrained_models/heat_logt_joint/ema_model
+  echo "P1: no fresh run at $SRC — keeping the committed checkpoint"
 fi
 
 # P2: trained-mode bench at 20/50/200 steps (the BASELINE metric)
