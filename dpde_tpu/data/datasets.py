@@ -180,6 +180,23 @@ class ValidationView:
     def __len__(self) -> int:
         return self.n
 
+    def subset(self, indices) -> "ValidationView":
+        """Shallow re-indexed view (row order = ``indices``). Used to
+        evaluate a spread of items across the trajectory x time expansion
+        instead of the first rows only — the expansion is time-major, so
+        the first K rows are the *earliest* times of trajectory 0, a
+        systematically unrepresentative (and for PDE residuals, hardest)
+        corner of the eval domain."""
+        import copy
+
+        sub = copy.copy(self)
+        idx = np.asarray(indices)
+        sub.a = self.a[idx]
+        sub.u = self.u[idx]
+        sub.labels = self.labels[idx] if self.labels is not None else None
+        sub.n = len(idx)
+        return sub
+
     def batches(self, batch_size: int = 1, limit: int | None = None):
         stop = self.n if limit is None else min(self.n, limit)
         for i in range(0, stop, batch_size):

@@ -253,13 +253,24 @@ def train(
                     if best_dirty and best_ema is not None:
                         ckpt.save_params("ema_model_best", best_ema)
                         best_dirty = False
+            # normal completion: flush best-EMA, final saves, and the
+            # wandb model artifact (reference training_loop.py:133-141 —
+            # uploaded within the same run, before run.finish())
+            if best_dirty and best_ema is not None:
+                ckpt.save_params("ema_model_best", best_ema)
+                best_dirty = False
+            ckpt_final = CheckpointManager(save_dir)
+            ckpt_final.save_params("model", state.params)
+            ckpt_final.save_params("ema_model", state.ema_params)
+            logger.info("training complete; model + ema_model saved to %s",
+                        save_dir)
+            art_name = str((wandb_kwargs or {}).get(
+                "name", save_dir.name)).replace("/", "-")
+            metrics_mod.log_model_artifact(
+                run, art_name,
+                [save_dir / "model", save_dir / "ema_model"],
+                metadata={"save_dir": str(save_dir), "epochs": epochs})
         finally:
             run.finish() if hasattr(run, "finish") else None
 
-    if best_dirty and best_ema is not None:
-        ckpt.save_params("ema_model_best", best_ema)
-    ckpt_final = CheckpointManager(save_dir)
-    ckpt_final.save_params("model", state.params)
-    ckpt_final.save_params("ema_model", state.ema_params)
-    logger.info("training complete; model + ema_model saved to %s", save_dir)
     return state

@@ -16,6 +16,7 @@ this module provides a `Run` interface with the same logging surface:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from pathlib import Path
@@ -98,6 +99,35 @@ def init(**kwargs) -> Any:
     )
     return JsonlRun(dir=log_dir, name=kwargs.get("name"),
                     config=kwargs.get("config"))
+
+
+def log_model_artifact(run, name: str, paths, metadata: dict | None = None
+                       ) -> None:
+    """Upload the final model/EMA checkpoints as a wandb model artifact
+    (reference training/training_loop.py:133-141). Orbax checkpoints are
+    directories, so ``add_dir`` replaces the reference's ``add_file``.
+    With the JSONL fallback (or a disabled wandb run) the artifact is
+    recorded as a log line carrying the checkpoint paths instead."""
+    paths = [Path(p) for p in paths]
+    if _wandb is not None and getattr(run, "log_artifact", None) is not None \
+            and not isinstance(run, JsonlRun):
+        try:
+            art = _wandb.Artifact(name=name, type="model",
+                                  metadata=metadata or {})
+            for p in paths:
+                if p.is_dir():
+                    art.add_dir(str(p), name=p.name)
+                elif p.exists():
+                    art.add_file(str(p))
+            run.log_artifact(art)
+            return
+        except Exception as e:        # offline/disabled runs must not
+            logging.getLogger(__name__).warning(   # fail training
+                "wandb artifact upload failed: %s", e)
+    if hasattr(run, "log"):
+        run.log({"model_artifact": name,
+                 "model_artifact_paths": [str(p) for p in paths],
+                 **({"model_artifact_meta": metadata} if metadata else {})})
 
 
 def run_metadata(dataset_name: str, method: str, model_name: str,

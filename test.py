@@ -50,6 +50,13 @@ def main(cfg):
     view = get_validation_view(sc.test_data_path,
                                time_as_label=time_as_label,
                                include_t0_as_target=include_t0)
+    # +run.item_stride=N evaluates every N-th view row (spread over the
+    # trajectory x time expansion) instead of the sequential prefix the
+    # reference walks (model_testing.py:188) — the prefix is the earliest
+    # times of the first trajectories only
+    stride = int(cfg.run.get("item_stride", 1) or 1)
+    if stride > 1:
+        view = view.subset(np.arange(0, len(view), stride))
     mask_a, mask_u = get_masks_from_config(
         cfg, rng=np.random.default_rng(cfg.run.seed))
 

@@ -1,0 +1,102 @@
+"""Trained-model guided-sampling quality gate (VERDICT r3 item 5).
+
+The 121-test suite used to pass with guidance numerics that destroyed the
+u channel on the real checkpoint (BENCH_r03: loss_pde 1.9e5), because no
+test gated "guided losses actually converge on a *trained* model". This
+module trains a tiny net to usable quality on an analytic heat set and
+asserts the reference's "just right" phenomenology (reference
+figures/sampling_losses_zeta_sensitivity.png): observation losses driven
+far down by the end of the run, no PDE-residual explosion, and a
+reconstruction whose ch-0 relative error is small.
+
+Runs on the 8-device virtual CPU mesh (conftest); the training budget is
+sized to stay ~1-2 min of CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpde_tpu.data.io import load_data, save_data
+from dpde_tpu.models import build_loss_from_config, init_denoiser
+from dpde_tpu.physics import heat as heat_phys
+from dpde_tpu.sampling import JointSampler, pde_losses
+from dpde_tpu.training import train
+from dpde_tpu.utils.config import load_config
+
+from pathlib import Path
+
+CONF = Path(__file__).parent.parent / "conf"
+
+
+@pytest.fixture(scope="module")
+def trained_tiny(tmp_path_factory):
+    """Tiny heat set + a tiny net trained long enough to denoise it."""
+    path = tmp_path_factory.mktemp("data") / "heat_gate.hdf5"
+    key = jax.random.PRNGKey(7)
+    dt = np.diff(heat_phys.time_grid(8, 0.5))
+    u, a, t_steps, labels = heat_phys.generate_heat(
+        key, n=48, batch=48, s=16, steps=8, dt=dt)
+    save_data(filepath=path, a=a, u=u, labels=labels, t_steps=t_steps,
+              t_final=0.5, dx=1 / 15, dy=1 / 15)
+
+    cfg = load_config(CONF, "train", [
+        f"dataset.data.datapath={path}",
+        "dataset.training.batch_size=16",
+        "model.base_ch=32", "model.ch_mults=[1,2]",
+        "model.n_res_blocks=1", "+run.seed=0",
+    ])
+    from dpde_tpu.data import get_dataloaders
+
+    train_iter, val_iter = get_dataloaders(cfg)
+    _, denoiser = init_denoiser(cfg, jax.random.PRNGKey(0), (16, 16), 2)
+    loss_fn = build_loss_from_config(cfg)
+    save_dir = tmp_path_factory.mktemp("gate_run")
+    state = train(denoiser, train_iter, val_iter, loss_fn,
+                  epochs=60, lr=3e-3, grad_clip=1.0, val_interval=30,
+                  ema_decay=0.99, ema_warmup=5, checkpoint_interval=None,
+                  save_dir=save_dir,
+                  wandb_kwargs={"mode": "disabled", "dir": str(save_dir)})
+    den = denoiser.replace_params(state.ema_params)
+    return den, load_data(path)
+
+
+def test_trained_guided_sampling_converges(trained_tiny):
+    den, raw = trained_tiny
+    # held-in item (tiny set; the gate is about guidance dynamics, not
+    # generalisation), final-time target like the reference eval rows
+    a = np.moveaxis(raw.u[:1, :, :, :, 0], 1, -1).astype(np.float32)
+    u = np.moveaxis(raw.u[:1, :, :, :, -1], 1, -1).astype(np.float32)
+    t_f = float(raw.t_steps[-1])
+    alpha = float(raw.labels[0, 0])
+    n_samp = 8
+    labels = jnp.asarray([[t_f, alpha]] * n_samp)
+
+    rng = np.random.default_rng(0)
+    mask_a = np.zeros((16, 16), bool)
+    mask_a[1:-1, 1:-1] = rng.random((14, 14)) < 0.3
+    mask_a[[0, -1], :] = mask_a[:, [0, -1]] = True
+    mask_u = np.zeros((16, 16), bool)       # u unobserved, like the eval
+
+    sampler = JointSampler(
+        den, (16, 16), 2, n_samp, ch_a=1,
+        loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": raw.dx},
+        num_steps=24)
+    x, losses = sampler.sample(
+        jax.random.PRNGKey(3), labels, a, u, mask_a, mask_u,
+        zeta_a=20.0, zeta_u=0.5, zeta_pde=0.2, return_losses=True)
+    x = np.asarray(x)
+    assert np.isfinite(x).all()
+
+    loss_a, loss_pde = losses[:, 0], losses[:, 2]
+    # obs guidance converges: final loss_a far below its peak
+    assert loss_a[-1] < 0.2 * loss_a.max(), loss_a
+    # no PDE-residual explosion (the r3 failure mode multiplied it ~600x)
+    assert loss_pde[-1] < 4.0 * loss_pde[:4].mean(), loss_pde
+    # reconstruction quality: ch-0 rel error (reference test-loop metric)
+    mae = np.abs(np.concatenate([a, u], -1)[0] - x).mean(axis=0)
+    rng_ch = (np.concatenate([a, u], -1)[0].max(axis=(0, 1))
+              - np.concatenate([a, u], -1)[0].min(axis=(0, 1)))
+    rel = (mae / rng_ch).mean(axis=(0, 1))
+    assert rel[0] < 0.2, rel

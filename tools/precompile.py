@@ -50,8 +50,13 @@ from dpde_tpu.sampling.karras import karras_sigmas  # noqa: E402
 def _denoiser(img_channels, label_dim, h, w):
     from dpde_tpu.models import Denoiser, EDMUNet
 
+    # must mirror bench.py/test.py: fp32 (the checkpoints' training
+    # dtype) by default, bf16 only as the explicit throughput opt-in
+    import os
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "float32")]
     net = EDMUNet(img_channels=img_channels, label_dim=label_dim,
-                  dtype=jnp.bfloat16)
+                  dtype=dtype)
     # one jitted host-CPU init — eager init pays a tunnel RTT per op
     with jax.default_device(jax.devices("cpu")[0]):
         params = jax.jit(net.init, backend="cpu")(
@@ -70,7 +75,9 @@ def _denoiser(img_channels, label_dim, h, w):
 
 def build(family: str, num_steps: int, items: int):
     num_samples = 32
-    if family == "heat":
+    if family in ("heat", "heat_eval"):
+        # "heat" mirrors bench.py (remat=False); "heat_eval" mirrors
+        # test.py's test_loop sampler (JointSampler default remat=True)
         h = w = 64
         c, ch_a, label_dim = 2, 1, 2
         den = _denoiser(c, label_dim, h, w)
@@ -78,7 +85,7 @@ def build(family: str, num_steps: int, items: int):
             den, (h, w), c, num_samples, ch_a=ch_a,
             loss_fn=pde_losses.heat_loss2,
             loss_kwargs={"dx": 1.0 / (w - 1)}, num_steps=num_steps,
-            remat=False)
+            remat=(family == "heat_eval"))
     elif family == "llg":
         h, w = 64, 16
         c, ch_a, label_dim = 6, 3, 4

@@ -42,27 +42,38 @@ logging.basicConfig(level=logging.INFO, force=True)
 logger = logging.getLogger("tune_sampler")
 
 
-def objective_mse(sampler, view, masks, zetas, n_items, seed):
-    """Mean squared error of guided samples vs ground truth over the first
-    n_items validation items (the notebook's objective)."""
+def make_objective(sampler, view, masks, n_items, seed):
+    """MSE of guided samples vs ground truth (the notebook's objective),
+    with two throughput/robustness changes over the reference harness:
+    the n_items evaluation items are flattened into ONE device batch
+    (item-exact batching, samplers.py module docstring) so every tuner
+    call is a single execution of one compiled program, and the items are
+    spread across the eval domain instead of being the earliest-time rows
+    of trajectory 0. Latents are fixed across calls so the objective is
+    deterministic in the zetas."""
     mask_a, mask_u = masks
-    key = jax.random.PRNGKey(seed)
-    errs = []
     s = sampler.num_samples
     c = sampler.num_channels
     ch_a = c // 2
-    for batch in view.batches(1, limit=n_items):
-        a, u, labels = batch["A"], batch["U"], batch["labels"]
-        rep = lambda x: np.repeat(x, s, axis=0) if x is not None else None
-        key, k_s = jax.random.split(key)
+    sel = np.linspace(0, min(len(view), 1000) - 1, n_items).astype(int)
+    a, u = view.a[sel], view.u[sel]
+    labels = view.labels[sel] if view.labels is not None else None
+    rep = lambda x: np.repeat(x, s, axis=0) if x is not None else None
+    obs_a, obs_u, lab = rep(a[..., :ch_a]), rep(u[..., :c - ch_a]), \
+        rep(labels)
+    obs = np.concatenate([a, u], axis=-1)
+    h, w = sampler.sample_shape
+    latents = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(seed), (n_items * s, h, w, c)))
+
+    def objective(zetas):
         samples, _ = sampler.sample(
-            k_s, rep(labels), rep(a[..., :ch_a]), rep(u[..., :c - ch_a]),
-            mask_a, mask_u, *zetas)
-        smp = np.asarray(samples)
-        obs = np.concatenate([a, u], axis=-1)
-        errs.append(float(((obs[:, None] - smp.reshape(
-            1, s, *smp.shape[1:])) ** 2).mean()))
-    return float(np.mean(errs))
+            jax.random.PRNGKey(seed), lab, obs_a, obs_u,
+            mask_a, mask_u, *zetas, latents=latents)
+        smp = np.asarray(samples).reshape(n_items, s, h, w, c)
+        return float(((obs[:, None] - smp) ** 2).mean())
+
+    return objective
 
 
 @config_main(config_path="conf", config_name="test")
@@ -108,19 +119,31 @@ def main(cfg):
     # zeta_a=20, zeta_u=0.5), so the floor would exclude them; log-uniform
     # also matches the scale-free role of the weights better than skopt's
     # uniform prior.
-    lo = np.log(np.asarray([1.0, 0.01, 1.0]))
+    # zeta_pde floor lowered to 0.01 (r4): the r3 explosion diagnosis
+    # showed this checkpoint's stable PDE-guidance regime sits well below
+    # 1 at 50 steps, and a floor of 1 would exclude the optimum entirely.
+    lo = np.log(np.asarray([1.0, 0.01, 0.01]))
     hi = np.log(np.asarray([20000.0, 20000.0, 100.0]))
 
+    objective = make_objective(sampler, view, masks, n_items, seed)
     history = []
     best = (None, np.inf)
+    # Seed candidates: the reference's shipped optimum and the r4 probe's
+    # low-zeta_pde stable points — evaluated first so the refinement half
+    # of the budget starts from a sane incumbent.
+    seeds_z = [(sc.zeta_a, sc.zeta_u, sc.zeta_pde),
+               (sc.zeta_a, sc.zeta_u, 0.2),
+               (sc.zeta_a, sc.zeta_u, 0.02)]
     for it in range(n_calls):
-        if best[0] is not None and it > n_calls // 2:
+        if it < len(seeds_z):
+            z = np.asarray(seeds_z[it], dtype=float)
+        elif best[0] is not None and it > n_calls // 2:
             # refine around incumbent (+- half a decade)
             center = np.log(np.asarray(best[0]))
             z = np.exp(center + rng.uniform(-0.5, 0.5, 3))
         else:
             z = np.exp(rng.uniform(lo, hi))
-        mse = objective_mse(sampler, view, masks, tuple(z), n_items, seed)
+        mse = objective(tuple(z))
         history.append({"zeta_a": z[0], "zeta_u": z[1], "zeta_pde": z[2],
                         "mse": mse})
         if mse < best[1]:
