@@ -99,6 +99,13 @@ def main():
 
     enable_compilation_cache()
 
+    # BENCH_MATMUL_PRECISION=bfloat16 keeps activations/reductions fp32
+    # but runs MXU matmuls/convs in single-pass bf16 — the middle ground
+    # between full-fp32 (3/6-pass MXU emulation) and full-bf16 activations
+    mp = os.environ.get("BENCH_MATMUL_PRECISION")
+    if mp:
+        jax.config.update("jax_default_matmul_precision", mp)
+
     from dpde_tpu.sampling import JointSampler, pde_losses
 
     h = w = 64

@@ -72,7 +72,11 @@ def main(cfg):
     else:
         loss_fn, kw, oag = pde_losses.llg_loss2, {}, net_and_dnet_dt_dummy
 
-    batch = next(view.batches(1))
+    # default item: middle of the reference's 1000-row eval domain — row 0
+    # is trajectory 0 at the earliest time step, a systematically
+    # unrepresentative corner (see bench.py item-selection note)
+    item = int(sweep.get("item", min(len(view), 1000) // 2))
+    batch = next(view.subset([item]).batches(1))
     s = sc.batch_size
     c = sc.num_channels
     ch_a = c // 2

@@ -77,7 +77,8 @@ def main(cfg):
     else:
         loss_fn, kw, oag = pde_losses.llg_loss2, {}, net_and_dnet_dt_dummy
 
-    batch = next(view.batches(1))
+    item = int(sweep.get("item", min(len(view), 1000) // 2))
+    batch = next(view.subset([item]).batches(1))
     s = sc.batch_size
     c = sc.num_channels
     ch_a = c // 2

@@ -35,7 +35,14 @@ from dpde_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
+
+# mirror bench.py's BENCH_MATMUL_PRECISION (affects lowering → cache key)
+_mp = os.environ.get("BENCH_MATMUL_PRECISION")
+if _mp:
+    jax.config.update("jax_default_matmul_precision", _mp)
 import jax.numpy as jnp  # noqa: E402
 
 from dpde_tpu.sampling import (  # noqa: E402
