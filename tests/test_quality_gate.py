@@ -79,10 +79,14 @@ def test_trained_guided_sampling_converges(trained_tiny):
     mask_a[[0, -1], :] = mask_a[:, [0, -1]] = True
     mask_u = np.zeros((16, 16), bool)       # u unobserved, like the eval
 
+    # settings + thresholds calibrated on this exact recipe (r4, CPU:
+    # 32 steps, zetas (20, 0.5, 0.2) -> loss_a ratio 0.086, loss_pde
+    # final/init 1.24, rel_a 0.053); margins ~3x so the gate trips on
+    # regressions, not seed noise
     sampler = JointSampler(
         den, (16, 16), 2, n_samp, ch_a=1,
         loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": raw.dx},
-        num_steps=24)
+        num_steps=32)
     x, losses = sampler.sample(
         jax.random.PRNGKey(3), labels, a, u, mask_a, mask_u,
         zeta_a=20.0, zeta_u=0.5, zeta_pde=0.2, return_losses=True)
@@ -91,7 +95,7 @@ def test_trained_guided_sampling_converges(trained_tiny):
 
     loss_a, loss_pde = losses[:, 0], losses[:, 2]
     # obs guidance converges: final loss_a far below its peak
-    assert loss_a[-1] < 0.2 * loss_a.max(), loss_a
+    assert loss_a[-1] < 0.25 * loss_a.max(), loss_a
     # no PDE-residual explosion (the r3 failure mode multiplied it ~600x)
     assert loss_pde[-1] < 4.0 * loss_pde[:4].mean(), loss_pde
     # reconstruction quality: ch-0 rel error (reference test-loop metric)
@@ -99,4 +103,4 @@ def test_trained_guided_sampling_converges(trained_tiny):
     rng_ch = (np.concatenate([a, u], -1)[0].max(axis=(0, 1))
               - np.concatenate([a, u], -1)[0].min(axis=(0, 1)))
     rel = (mae / rng_ch).mean(axis=(0, 1))
-    assert rel[0] < 0.2, rel
+    assert rel[0] < 0.15, rel
