@@ -189,13 +189,18 @@ def main():
         num_steps=50, remat=False,
     )
 
-    # reference-tuned guidance weights (conf/sampling_conf/heat_logt_joint)
-    # BENCH_ZETAS="za,zu,zpde[;za,zu,zpde...]" sweeps alternatives — zetas
-    # are runtime arguments of the compiled program, so every extra tuple
-    # costs one execution, zero recompiles
+    # Guidance weights tuned for the committed checkpoint
+    # (conf/sampling_conf/heat_logt_joint_tuned.yaml; tuned with
+    # tools/tune_sampler.py at the reference's 30-call budget — the
+    # reference's own (20, 0.5, 20) were tuned for ITS model the same
+    # way and destabilize this one). BENCH_ZETAS="za,zu,zpde[;...]"
+    # sweeps alternatives — zetas are runtime arguments of the compiled
+    # program, so every extra tuple costs one execution, zero recompiles.
     zeta_sets = [tuple(float(v) for v in s.split(","))
-                 for s in os.environ.get("BENCH_ZETAS", "20,0.5,20")
-                 .split(";")]
+                 for s in os.environ.get(
+                     "BENCH_ZETAS",
+                     "74.13642574099173,0.194233374725151,"
+                     "0.019931142198558717").split(";")]
     zetas = zeta_sets[0]
 
     def run(key, num_steps, return_losses=False, z=None):
