@@ -140,6 +140,22 @@ def test_loop(
                      "sample rel std": float(rel_std.mean())})
             done += k
 
+            # periodic partial flush: a tunneled-TPU freeze mid-eval must
+            # not lose the batches already computed (r4 incident: 141/250
+            # batches evaporated with a wedged readback) — the partial
+            # npz + a per-channel running error line make every ~25
+            # batches durable
+            if (done // k) % 25 == 0 or done >= num_items:
+                np.savez(str(save_path) + ".partial.npz",
+                         MAE=mae[:done], denom_abs=denom_abs[:done],
+                         denom_range=denom_range[:done], std=std[:done])
+                part = (mae[:done]
+                        / denom_range[:done, :, None, None]).mean(
+                            axis=(0, 2, 3))
+                logger.info("progress %d/%d items; running ch rel err: %s",
+                            done, num_items,
+                            np.array2string(part, precision=4))
+
         if not np.isfinite(mae[:done]).all():
             logger.error("MAE is not finite!")
 
