@@ -57,11 +57,12 @@ from dpde_tpu.sampling.karras import karras_sigmas  # noqa: E402
 def _denoiser(img_channels, label_dim, h, w):
     from dpde_tpu.models import Denoiser, EDMUNet
 
-    # must mirror bench.py/test.py: fp32 (the checkpoints' training
-    # dtype) by default, bf16 only as the explicit throughput opt-in
+    # must mirror bench.py: bf16 serving default (r4 A/B: quality parity
+    # with fp32 at tuned zetas), BENCH_DTYPE=float32 for the training-
+    # dtype configuration
     import os
     dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
-        os.environ.get("BENCH_DTYPE", "float32")]
+        os.environ.get("BENCH_DTYPE", "bfloat16")]
     net = EDMUNet(img_channels=img_channels, label_dim=label_dim,
                   dtype=dtype)
     # one jitted host-CPU init — eager init pays a tunnel RTT per op

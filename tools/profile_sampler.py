@@ -104,21 +104,36 @@ def main():
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
-    flops = float(ca.get("flops", float("nan")))
-    bytes_acc = float(ca.get("bytes accessed", float("nan")))
+    # XLA's cost analysis counts a while/scan BODY ONCE, not x trip
+    # count (verified r4: a standalone batched denoiser forward costs
+    # 1.64 TFLOP at b=128, so the 50-step guided call is ~7 fwd-equiv x
+    # 50 steps ~ 575 TFLOP, while compiled.cost_analysis() reports 13.1
+    # TFLOP ~ one step's worth). Scale by the step count; the final
+    # Euler step outside the scan keeps this a slight UNDER-estimate.
+    flops = float(ca.get("flops", float("nan"))) * num_steps
+    bytes_acc = float(ca.get("bytes accessed", float("nan"))) * num_steps
+    # bytes-accessed x trip-count exceeds physically possible HBM traffic
+    # (fusion/reuse make the metric an upper bound) — report it but key
+    # the roofline off FLOPs
 
     trace_dir = os.environ.get("PROFILE_TRACE")
     reps = int(os.environ.get("REPS", "3"))
 
+    # force completion via a tiny device->host fetch: on the tunneled
+    # axon platform block_until_ready on AOT-compiled outputs returns
+    # immediately (r4: it timed DISPATCH, 0.3 ms "per call"), so a
+    # readback of one output row is the only reliable fence
+    fence = lambda o: np.asarray(o[0][0, 0, 0, :])
+
     out = compiled(sampler.net, *args)
-    jax.block_until_ready(out)          # warmup exec
+    fence(out)                          # warmup exec
 
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = compiled(sampler.net, *args)
-    jax.block_until_ready(out)
+        fence(out)
     wall = (time.perf_counter() - t0) / reps
     if trace_dir:
         jax.profiler.stop_trace()
