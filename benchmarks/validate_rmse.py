@@ -96,9 +96,9 @@ def main(cfg):
             truth = np.concatenate([a_i[0], u_i[0]], axis=-1)
             rmse = float(np.sqrt(((mean - truth) ** 2).mean()))
             rng_t = truth.max() - truth.min()
-            results.append({"item": item, "t_idx": t_idx, "tau": tau,
-                            "rmse": rmse,
-                            "rel_rmse": rmse / max(rng_t, 1e-9)})
+            results.append({"item": item, "t_idx": int(t_idx),
+                            "tau": float(tau), "rmse": rmse,
+                            "rel_rmse": float(rmse / max(rng_t, 1e-9))})
             logger.info("item %d t=%.3f: rmse %.4f (rel %.4f)",
                         item, tau, rmse, results[-1]["rel_rmse"])
 
