@@ -4,9 +4,11 @@ BASELINE.md row 1-3 metrics at the heat_logt_joint evaluation
 configuration — each test item is one 50-step JointSampler run over a
 batch of 32 samples on the 64x64 unet-v2 joint heat model with jvp time
 derivatives and full guidance (obs_a + obs_u + heat PDE residual).
-Reference: 2.72 s/item (0.368 items/s) on the DTU GPU; final loss_pde
-~5.2e-2 at 50 steps; test-set ch-0 relative error 0.0726
-(/root/reference/nohup.out final lines).
+Reference: 2.72 s/item (0.368 items/s) on the DTU GPU; test-set ch-0
+relative error 0.0726 (/root/reference/nohup.out final lines). The
+"final loss_pde ~5.2e-2" figure band is the LLG family's llg_loss2
+scale, not heat (BASELINE.md "Interpretation update") — the ref_loss_pde
+fields below are kept for continuity with that original reading.
 
 Two modes:
   * trained mode (default when pretrained_models/heat_logt_joint/ema_model
