@@ -185,28 +185,45 @@ def main():
             jnp.float32)
         truth_a = truth_u = None
 
+    # Serving-path knobs (round-5 perf work; all A/B'd on the trained
+    # checkpoint — see runs_r5/):
+    #   BENCH_GUIDANCE_MODE  exact | second_eval | x0 (samplers.py docs)
+    #   BENCH_PARAM_DTYPE    bfloat16 halves weight HBM traffic
+    gmode = os.environ.get("BENCH_GUIDANCE_MODE", "exact")
+    if os.environ.get("BENCH_PARAM_DTYPE") == "bfloat16":
+        den = den.replace_params(jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, den.params))
+
     sampler = JointSampler(
         den, (h, w), 2, num_samples, ch_a=1,
         loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": dx},
-        num_steps=50, remat=False,
+        num_steps=50, remat=False, guidance_mode=gmode,
     )
 
-    # Guidance weights tuned for the committed checkpoint
-    # (conf/sampling_conf/heat_logt_joint_tuned.yaml; tuned with
-    # tools/tune_sampler.py at the reference's 30-call budget — the
+    # Guidance weights tuned for the committed checkpoint — single source
+    # of truth is conf/sampling_conf/heat_logt_joint_tuned.yaml (tuned
+    # with tools/tune_sampler.py at the reference's 30-call budget — the
     # reference's own (20, 0.5, 20) were tuned for ITS model the same
     # way and destabilize this one). BENCH_ZETAS="za,zu,zpde[;...]"
     # sweeps alternatives — zetas are runtime arguments of the compiled
     # program, so every extra tuple costs one execution, zero recompiles.
-    zeta_sets = [tuple(float(v) for v in s.split(","))
-                 for s in os.environ.get(
-                     "BENCH_ZETAS",
-                     "74.13642574099173,0.194233374725151,"
-                     "0.019931142198558717").split(";")]
+    if os.environ.get("BENCH_ZETAS"):
+        zeta_sets = [tuple(float(v) for v in s.split(","))
+                     for s in os.environ["BENCH_ZETAS"].split(";")]
+        if any(len(z) != 3 for z in zeta_sets):
+            raise ValueError(
+                f"BENCH_ZETAS entries must be 3 floats each: {zeta_sets}")
+    else:
+        from dpde_tpu.utils.config import _load_yaml as load_yaml
+        tuned = load_yaml(
+            ROOT / "conf" / "sampling_conf" / "heat_logt_joint_tuned.yaml")
+        zeta_sets = [(float(tuned["zeta_a"]), float(tuned["zeta_u"]),
+                      float(tuned["zeta_pde"]))]
     zetas = zeta_sets[0]
 
     def run(key, num_steps, return_losses=False, z=None):
-        z = z or zetas
+        z = zetas if z is None else z
         return sampler.sample(key, labels, obs_a, obs_u, mask_a, mask_u,
                               z[0], z[1], z[2],
                               num_steps=num_steps,

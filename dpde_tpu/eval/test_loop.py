@@ -55,6 +55,7 @@ def test_loop(
     seed: int = 0,
     save_path: str | Path = "validation_data.npz",
     mesh=None,
+    resume: bool = True,
 ):
     """Run guided sampling over the validation view and accumulate errors.
 
@@ -71,7 +72,11 @@ def test_loop(
     h, w = sampler.sample_shape
     c = sampler.num_channels
     s = sampler.num_samples
-    ch_a = c // 2
+    ch_a = getattr(sampler, "ch_a", c // 2)
+    # forward-method samplers (ForwardConditionedSampler via the test.py
+    # adapter) predict only the solution channels: the "A" field is full
+    # network conditioning, truth/metrics cover U alone
+    forward = bool(getattr(sampler, "forward_method", False))
     if mask_a is None:
         mask_a = np.zeros((h, w), dtype=bool)
     if mask_u is None:
@@ -87,6 +92,26 @@ def test_loop(
     key = jax.random.PRNGKey(seed)
     t_start = time.perf_counter()
     done = 0
+
+    # resume from a periodic partial flush (the r4 freeze incident: a
+    # wedged readback killed 141 computed batches; with tools/watchdog.py
+    # the restarted run skips straight past everything already flushed)
+    done_saved = 0
+    partial_path = Path(str(save_path) + ".partial.npz")
+    if resume and partial_path.exists():
+        try:
+            part = np.load(partial_path)
+            if part["MAE"].shape[1:] == (c, h, w):
+                done_saved = min(part["MAE"].shape[0], num_items)
+                mae[:done_saved] = part["MAE"][:done_saved]
+                denom_abs[:done_saved] = part["denom_abs"][:done_saved]
+                denom_range[:done_saved] = part["denom_range"][:done_saved]
+                std[:done_saved] = part["std"][:done_saved]
+                logger.info("resuming from %s: %d items already done",
+                            partial_path, done_saved)
+        except Exception:
+            logger.warning("ignoring unreadable partial %s", partial_path)
+            done_saved = 0
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
@@ -105,19 +130,31 @@ def test_loop(
             labels = batch["labels"]           # (K, L) or None
             k = a.shape[0]
 
+            if done + k <= done_saved:
+                # batch fully covered by the resumed partial: advance the
+                # key stream identically and skip the sampling
+                key, _ = jax.random.split(key)
+                done += k
+                continue
+
             # flatten items x samples into one sampler batch (sharded over
             # the mesh when one is given)
             rep = lambda x: (shard(np.repeat(x, s, axis=0))
                              if x is not None else None)
-            obs_a = rep(a[..., :ch_a] if a.shape[-1] >= ch_a else a)
-            obs_u = rep(u[..., :c - ch_a])
+            if forward:
+                obs_a = rep(a)                 # full conditioning field
+                obs_u = rep(u[..., :c])
+            else:
+                obs_a = rep(a[..., :ch_a] if a.shape[-1] >= ch_a else a)
+                obs_u = rep(u[..., :c - ch_a])
             lab = rep(labels)
 
             key, k_s = jax.random.split(key)
             samples, _ = sampler.sample(
                 k_s, lab, obs_a, obs_u, mask_a, mask_u,
                 zeta_a, zeta_u, zeta_pde)
-            obs = np.concatenate([a, u], axis=-1)            # (K, H, W, C)
+            obs = (u[..., :c] if forward
+                   else np.concatenate([a, u], axis=-1))     # (K, H, W, C)
 
             # metrics reduce ON DEVICE: fetching the raw sample batch
             # (K*s*H*W*C floats) over a tunneled device link costs more
@@ -166,6 +203,7 @@ def test_loop(
 
         np.savez(save_path, MAE=mae[:done], denom_abs=denom_abs[:done],
                  denom_range=denom_range[:done], std=std[:done])
+        Path(str(save_path) + ".partial.npz").unlink(missing_ok=True)
         rel_error = mae[:done] / denom_range[:done, :, None, None]
         ch_rel_error = rel_error.mean(axis=(0, 2, 3))
         for i in range(c):

@@ -140,8 +140,28 @@ class JointSampler:
     remat: bool = True   # jax.checkpoint the denoiser evals: the guidance
     # backward then recomputes activations instead of keeping both Heun
     # evals' activations live (SURVEY.md section 7 memory note)
+    guidance_mode: str = "exact"
+    # How the guidance gradient is taken (round-5 perf work — the guided
+    # step is compute-bound, so the backward structure is the FLOP lever):
+    #   "exact"        grad of the step-local closure w.r.t. the step
+    #                  input, flowing through BOTH Heun denoiser evals —
+    #                  the reference's autograd-through-the-step semantics
+    #                  (sample.py:353-355). ~7.9 fwd-equivalents/step.
+    #   "second_eval"  standard DPS shape: grad w.r.t. the corrected
+    #                  (second) eval's input only; the first eval is
+    #                  treated as a frozen direction. Drops one full
+    #                  backward (~5.9 fwd-eq/step). Guidance weights are
+    #                  checkpoint-specific anyway (tools/tune_sampler.py),
+    #                  so the mode change just shifts the tuned zetas.
+    #   "x0"           no backward through the net at all: the cotangent
+    #                  of the guidance loss w.r.t. the denoised estimate
+    #                  is applied directly (manifold-free approximation).
+    #                  Cheapest (~3.9 fwd-eq/step), most approximate.
 
     def __post_init__(self):
+        if self.guidance_mode not in ("exact", "second_eval", "x0"):
+            raise ValueError(
+                f"unknown guidance_mode: {self.guidance_mode!r}")
         self._jit = jax.jit(
             self._sample,
             static_argnames=("num_steps", "have_labels"))
@@ -233,7 +253,7 @@ class JointSampler:
         # Heun steps for i = 0..N-2 (sigma_next > 0): no branch in the
         # scanned body — the final Euler step runs once outside the scan,
         # halving the traced/compiled graph vs a lax.cond formulation.
-        def step(x_carry, inp):
+        def step_exact(x_carry, inp):
             i, sigma_cur, sigma_next = inp
 
             def step_loss(x_cur):
@@ -250,6 +270,49 @@ class JointSampler:
             grad_x, (x_next, losses) = jax.grad(
                 step_loss, has_aux=True)(x_carry)
             return x_next - grad_x, losses
+
+        def step_second_eval(x_carry, inp):
+            # "second_eval" guidance: the first (predictor) eval is a pure
+            # forward — no residuals kept, no backward through it
+            i, sigma_cur, sigma_next = inp
+            x_n = jax.lax.stop_gradient(eval_plain(x_carry, sigma_cur))
+            d_cur = (x_carry - x_n) / sigma_cur
+            x_eul = x_carry + (sigma_next - sigma_cur) * d_cur
+
+            def corr_loss(xe):
+                x_n2, dxdt2 = eval_net(xe, sigma_next)
+                d_prime = (xe - x_n2) / sigma_next
+                loss_comb, losses = guidance(x_n2, dxdt2, i)
+                return loss_comb, (d_prime, losses)
+
+            grad_x, (d_prime, losses) = jax.grad(
+                corr_loss, has_aux=True)(x_eul)
+            x_next = x_carry + (sigma_next - sigma_cur) * 0.5 * (
+                d_cur + d_prime)
+            return x_next - grad_x, losses
+
+        def step_x0(x_carry, inp):
+            # "x0" guidance: cotangent of the loss w.r.t. the denoised
+            # estimate applied directly — zero backwards through the net
+            i, sigma_cur, sigma_next = inp
+            x_n = eval_plain(x_carry, sigma_cur)
+            d_cur = (x_carry - x_n) / sigma_cur
+            x_eul = x_carry + (sigma_next - sigma_cur) * d_cur
+            x_n2, dxdt2 = eval_net(x_eul, sigma_next)
+            d_prime = (x_eul - x_n2) / sigma_next
+            x_next = x_carry + (sigma_next - sigma_cur) * 0.5 * (
+                d_cur + d_prime)
+
+            def g_loss(xn):
+                loss_comb, losses = guidance(xn, dxdt2, i)
+                return loss_comb, losses
+
+            grad_x, losses = jax.grad(g_loss, has_aux=True)(
+                jax.lax.stop_gradient(x_n2))
+            return x_next - grad_x, losses
+
+        step = {"exact": step_exact, "second_eval": step_second_eval,
+                "x0": step_x0}[self.guidance_mode]
 
         idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
         x, losses = jax.lax.scan(step, x0,

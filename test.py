@@ -22,6 +22,7 @@ from dpde_tpu.data.io import load_attr
 from dpde_tpu.eval import get_masks_from_config, test_loop
 from dpde_tpu.models import init_denoiser
 from dpde_tpu.sampling import (
+    ForwardConditionedSampler,
     JointSampler,
     net_and_dnet_dt,
     net_and_dnet_dt_dummy,
@@ -34,6 +35,31 @@ from dpde_tpu.utils.config import main as config_main
 logging.basicConfig(level=logging.INFO, force=True,
                     format="%(asctime)s %(name)s %(levelname)s %(message)s")
 logger = logging.getLogger("test")
+
+
+class _ForwardTestAdapter:
+    """Present a ForwardConditionedSampler through the JointSampler.sample
+    signature that eval.test_loop drives: obs_a becomes the network
+    conditioning field, (mask_a, zeta_a) are unused, and
+    ``forward_method`` tells test_loop to score U only."""
+
+    forward_method = True
+
+    def __init__(self, inner: ForwardConditionedSampler):
+        self.inner = inner
+        self.sample_shape = inner.sample_shape
+        self.num_channels = inner.num_channels
+        self.num_samples = inner.num_samples
+        self.ch_a = 0
+
+    def sample(self, key, labels, obs_a, obs_u, mask_a, mask_u,
+               zeta_a, zeta_u, zeta_pde, **kw):
+        import jax.numpy as jnp
+
+        return self.inner.sample(key, labels, obs_u, mask_u, zeta_u,
+                                 zeta_pde,
+                                 net_obs=jnp.asarray(obs_a, jnp.float32),
+                                 **kw)
 
 
 @config_main(config_path="conf", config_name="test")
@@ -60,6 +86,19 @@ def main(cfg):
     mask_a, mask_u = get_masks_from_config(
         cfg, rng=np.random.default_rng(cfg.run.seed))
 
+    # Serving-path knobs (round-5 perf work; bench.py A/B'd on the
+    # trained checkpoint — see runs_r5/perf_sweep.jsonl):
+    #   +run.eval_dtype=bfloat16    activation dtype override for eval
+    #   +run.param_dtype=bfloat16   store weights bf16 (halves weight HBM)
+    #   +run.remat=true             re-enable remat (off = bench's fast
+    #                               program; the workloads fit HBM)
+    #   +run.guidance_mode=...      exact | second_eval | x0
+    eval_dtype = cfg.run.get("eval_dtype")
+    if eval_dtype:
+        cfg.model["dtype"] = eval_dtype
+    remat = bool(cfg.run.get("remat", False))
+    gmode = cfg.run.get("guidance_mode", "exact") or "exact"
+
     key = jax.random.PRNGKey(cfg.run.seed)
     _, denoiser = init_denoiser(cfg, key, tuple(sc.sample_shape),
                                 cfg.dataset.net.in_ch)
@@ -67,6 +106,12 @@ def main(cfg):
     logger.info("loading pretrained model from %s", pretrained)
     denoiser = denoiser.replace_params(
         load_pretrained_params(pretrained, denoiser.params))
+    if cfg.run.get("param_dtype") == "bfloat16":
+        import jax.numpy as jnp
+
+        denoiser = denoiser.replace_params(jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, denoiser.params))
 
     # PDE dispatch (reference test2.py:83-95)
     if "heat" in dataset_name:
@@ -95,20 +140,45 @@ def main(cfg):
     else:
         raise ValueError(f"Unknown dataset name: {dataset_name}")
 
-    sampler = JointSampler(
-        net=denoiser,
-        sample_shape=tuple(sc.sample_shape),
-        num_channels=sc.num_channels,
-        num_samples=sc.batch_size,
-        ch_a=sc.num_channels // 2,
-        loss_fn=loss_fn,
-        loss_kwargs=loss_kwargs,
-        num_steps=sc.num_steps,
-        sigma_min=sc.sigma_min,
-        sigma_max=sc.sigma_max,
-        rho=sc.rho,
-        out_and_grad_fn=out_and_grad,
-    )
+    if method == "forward":
+        # forward-method evaluation: the full A field (u at t0) conditions
+        # the network as obs input; x holds only the solution channels,
+        # guided by masked U observations + the PDE residual. This is the
+        # working equivalent of the reference's dead
+        # EDMHeatSampler.sample_forward (reference sample.py:533-619) —
+        # never reachable from its test scripts; here it is first-class.
+        inner = ForwardConditionedSampler(
+            net=denoiser,
+            sample_shape=tuple(sc.sample_shape),
+            num_channels=sc.num_channels,
+            num_samples=sc.batch_size,
+            loss_fn=loss_fn,
+            loss_kwargs=loss_kwargs,
+            num_steps=sc.num_steps,
+            sigma_min=sc.sigma_min,
+            sigma_max=sc.sigma_max,
+            rho=sc.rho,
+            out_and_grad_fn=out_and_grad,
+            remat=remat,
+        )
+        sampler = _ForwardTestAdapter(inner)
+    else:
+        sampler = JointSampler(
+            net=denoiser,
+            sample_shape=tuple(sc.sample_shape),
+            num_channels=sc.num_channels,
+            num_samples=sc.batch_size,
+            ch_a=sc.num_channels // 2,
+            loss_fn=loss_fn,
+            loss_kwargs=loss_kwargs,
+            num_steps=sc.num_steps,
+            sigma_min=sc.sigma_min,
+            sigma_max=sc.sigma_max,
+            rho=sc.rho,
+            out_and_grad_fn=out_and_grad,
+            remat=remat,
+            guidance_mode=gmode,
+        )
 
     wandb_kwargs = dict(cfg.wandb)
     wandb_kwargs.update(metrics_mod.run_metadata(

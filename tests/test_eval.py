@@ -1,5 +1,7 @@
 """Mask generator + test-loop + Karras grid tests."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,91 @@ class TestTestLoop:
         loaded = np.load(tmp_path / "validation_data.npz")
         assert set(loaded.files) == {"MAE", "denom_abs", "denom_range",
                                      "std"}
+
+    def test_resume_from_partial(self, tmp_path):
+        """Watchdog insurance (round 5): a test_loop restart must skip the
+        batches already flushed to .partial.npz, reproduce the identical
+        key stream for the rest, and delete the partial on success."""
+        from dpde_tpu.data.datasets import ValidationView
+        from dpde_tpu.eval.test_loop import test_loop
+
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((4, 1, 8, 8, 3)).astype(np.float32)
+        t_steps = np.asarray([0.0, 0.5, 1.0], np.float32)
+        view = ValidationView(data, t_steps, np.ones((4, 1), np.float32),
+                              time_as_label=True)
+
+        calls = []
+
+        class KeyedSampler:
+            sample_shape = (8, 8)
+            num_channels = 2
+            num_samples = 2
+
+            def sample(self, key, labels, obs_a, obs_u, mask_a, mask_u,
+                       za, zu, zp, return_losses=False):
+                calls.append(np.asarray(key).tolist())
+                x = np.concatenate([obs_a, obs_u], axis=-1)
+                # key-dependent perturbation: resumed run must produce
+                # bit-identical outputs for the remaining batches
+                x = x + np.float32(np.asarray(key)[-1] % 7) * 1e-3
+                return x, None
+
+        kwargs = dict(
+            wandb_kwargs={"mode": "disabled", "dir": str(tmp_path)},
+            items_per_batch=2, max_num_samples=8,
+            save_path=tmp_path / "validation_data.npz")
+
+        full = test_loop(KeyedSampler(), view, 1.0, 1.0, 1.0, **kwargs)
+        keys_full = list(calls)
+        assert not (tmp_path / "validation_data.npz.partial.npz").exists()
+
+        # fake an interrupted run: partial flush covering the first 4 items
+        np.savez(str(tmp_path / "validation_data.npz") + ".partial.npz",
+                 MAE=full["MAE"][:4], denom_abs=full["denom_abs"][:4],
+                 denom_range=full["denom_range"][:4], std=full["std"][:4])
+        calls.clear()
+        resumed = test_loop(KeyedSampler(), view, 1.0, 1.0, 1.0, **kwargs)
+
+        assert keys_full[2:] == calls          # first 2 batches skipped
+        np.testing.assert_array_equal(resumed["MAE"], full["MAE"])
+        np.testing.assert_array_equal(resumed["std"], full["std"])
+        assert not (tmp_path / "validation_data.npz.partial.npz").exists()
+
+
+class TestWatchdog:
+    def test_kills_stalled_and_restarts(self, tmp_path):
+        """A child whose CPU time freezes (pure sleep) must be killed and
+        relaunched; a marker file makes the second attempt exit 0."""
+        import subprocess
+        import sys
+
+        marker = tmp_path / "attempt"
+        prog = (
+            "import os, sys, time\n"
+            f"m = {str(marker)!r}\n"
+            "if os.path.exists(m):\n"
+            "    sys.exit(0)\n"
+            "open(m, 'w').close()\n"
+            "time.sleep(600)\n"   # frozen CPU time -> watchdog kill
+        )
+        r = subprocess.run(
+            [sys.executable, "tools/watchdog.py", "--stall-s", "3",
+             "--poll-s", "1", "--cooloff-s", "1", "--max-restarts", "1",
+             "--", sys.executable, "-c", prog],
+            capture_output=True, text=True, timeout=120,
+            cwd=str(Path(__file__).resolve().parents[1]))
+        assert r.returncode == 0, r.stderr
+        assert "CPU time frozen" in r.stderr
+        assert "cooling off" in r.stderr
+
+    def test_passes_through_exit_code(self):
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, "tools/watchdog.py", "--stall-s", "30",
+             "--", sys.executable, "-c", "import sys; sys.exit(5)"],
+            capture_output=True, text=True, timeout=60,
+            cwd=str(Path(__file__).resolve().parents[1]))
+        assert r.returncode == 5

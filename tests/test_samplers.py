@@ -82,6 +82,42 @@ class TestJoint:
                              m, m, 1.0, 1.0, 1.0, return_losses=True)
         assert losses.shape == (9, 4)
 
+    @pytest.mark.parametrize("mode", ["second_eval", "x0"])
+    def test_guidance_modes_run_and_guide(self, tiny_joint_net, mode):
+        """The cheap guidance modes (round-5 serving path) must (a) run
+        NaN-free, (b) actually steer samples toward the observations
+        relative to the unguided run, (c) reduce to the exact mode's
+        trajectory when zetas are zero."""
+        m = np.ones((16, 16), bool)
+        lbl = jnp.ones((2, 2))
+        obs = np.full((1, 16, 16, 1), 0.7, np.float32)
+        mk = lambda gm: JointSampler(
+            tiny_joint_net, (16, 16), 2, 2, ch_a=1,
+            loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": 1 / 15},
+            num_steps=8, guidance_mode=gm)
+        sf = mk(mode)
+        xg, losses = sf.sample(jax.random.PRNGKey(0), lbl, obs, obs, m, m,
+                               2.0, 2.0, 0.0, return_losses=True)
+        assert np.isfinite(np.asarray(xg)).all()
+        assert losses.shape == (8, 4)
+        x0, _ = sf.sample(jax.random.PRNGKey(0), lbl, obs, obs, m, m,
+                          0.0, 0.0, 0.0)
+        err_g = np.abs(np.asarray(xg)[..., 0] - 0.7).mean()
+        err_0 = np.abs(np.asarray(x0)[..., 0] - 0.7).mean()
+        assert err_g < err_0
+        # zero-zeta trajectories agree across modes (same Heun math)
+        xe, _ = mk("exact").sample(jax.random.PRNGKey(0), lbl, obs, obs,
+                                   m, m, 0.0, 0.0, 0.0)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(xe),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_guidance_mode_validation(self, tiny_joint_net):
+        with pytest.raises(ValueError, match="guidance_mode"):
+            JointSampler(tiny_joint_net, (16, 16), 2, 2, ch_a=1,
+                         loss_fn=pde_losses.heat_loss2,
+                         loss_kwargs={"dx": 1 / 15},
+                         guidance_mode="bogus")
+
     def test_zero_zetas_equals_unconditional_path(self, tiny_joint_net):
         """With all-zero guidance weights the guided sampler must reduce to
         the plain Heun sampler (same key, same schedule)."""

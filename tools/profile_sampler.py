@@ -151,14 +151,16 @@ def main():
         "wall_s_per_call": round(wall, 4),
         "items_per_s": round(items_per_batch / wall, 4),
         "xla_flops_per_call": flops,
-        "xla_bytes_accessed_per_call": bytes_acc,
+        # cost-analysis bytes x trip count exceed physically possible HBM
+        # traffic (fusion/reuse make it an upper bound): labelled as such
+        # and the bandwidth figure is therefore also an upper bound — the
+        # roofline verdict keys off FLOPs/MFU
+        "xla_bytes_accessed_per_call_upper_bound": bytes_acc,
         "achieved_tflops_s": round(achieved_flops / 1e12, 2),
         "mfu_vs_v5e_bf16_peak": round(
             achieved_flops / V5E_PEAK_BF16_FLOPS, 4),
-        "achieved_hbm_tb_s": round(achieved_bw / 1e12, 3),
-        "hbm_util_vs_v5e_peak": round(achieved_bw / V5E_PEAK_HBM_BYTES_S,
-                                      4),
-        "arithmetic_intensity_flops_per_byte": round(
+        "achieved_hbm_tb_s_upper_bound": round(achieved_bw / 1e12, 3),
+        "arithmetic_intensity_flops_per_byte_lower_bound": round(
             flops / bytes_acc, 2) if bytes_acc else None,
         "v5e_ridge_flops_per_byte": round(
             V5E_PEAK_BF16_FLOPS / V5E_PEAK_HBM_BYTES_S, 1),
