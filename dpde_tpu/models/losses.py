@@ -67,7 +67,16 @@ class EDMHeatLoss:
     (loss.py:41-171; PIDM, arXiv:2403.14404). ME evaluates the heat
     residual on the denoised estimate; SE first runs a short first-order
     EDM rollout (loss.py:78-135). The residual uses du/dt from the time
-    label derivative and alpha = labels[:, 1] (loss.py:154)."""
+    label derivative and alpha = labels[:, 1] (loss.py:154).
+
+    Fixes a latent broadcast bug in the reference's PDE weighting
+    (loss.py:157/160): ``pde_loss.mean(dim=(1,2,3))`` is (B,) but is
+    divided by ``sigma ** 2`` of shape (B,1,1,1), broadcasting to a
+    (B,1,1,B) cross matrix — every sample's PDE residual gets scaled by
+    every OTHER sample's noise level, and the subsequent
+    ``edm_loss + pde_loss`` silently inflates to (B,1,1,B) before the
+    trainer's final mean. Here ``sigma.reshape(-1)`` keeps the weight
+    per-sample, shape (B,)."""
 
     dx: float
     pde_loss_coeff: float = 1.0

@@ -360,7 +360,8 @@ class ForwardConditionedSampler:
                             static_argnames=("num_steps", "have_labels"))
 
     def sample(self, key, labels, obs_u, mask_u, zeta_u, zeta_pde,
-               net_obs=None, return_losses=False, num_steps=None):
+               net_obs=None, return_losses=False, num_steps=None,
+               latents=None):
         num_steps = num_steps or self.num_steps
         sigmas = jnp.asarray(
             karras_sigmas(num_steps, self.sigma_min, self.sigma_max,
@@ -373,6 +374,7 @@ class ForwardConditionedSampler:
             net_obs,
             jnp.asarray(zeta_u, jnp.float32),
             jnp.asarray(zeta_pde, jnp.float32),
+            latents,
             num_steps=num_steps, have_labels=labels is not None)
         if return_losses:
             losses = np.asarray(losses)
@@ -380,14 +382,15 @@ class ForwardConditionedSampler:
         return x, None
 
     def _sample(self, net, key, sigmas, labels, obs_u, mask_u, net_obs,
-                zeta_u, zeta_pde, *, num_steps, have_labels):
+                zeta_u, zeta_pde, latents, *, num_steps, have_labels):
         b = labels.shape[0] if have_labels else self.num_samples
         k_items = max(1, b // self.num_samples)
         h, w = self.sample_shape
         mask_u3 = mask_u[..., None]
         lbl = labels if have_labels else None
 
-        latents = jax.random.normal(key, (b, h, w, self.num_channels))
+        if latents is None:
+            latents = jax.random.normal(key, (b, h, w, self.num_channels))
         x0 = latents * sigmas[0]
 
         def eval_net(x, sigma):

@@ -29,6 +29,7 @@ from dpde_tpu.data.io import load_attr  # noqa: E402
 from dpde_tpu.eval import get_masks_from_config  # noqa: E402
 from dpde_tpu.models import init_denoiser  # noqa: E402
 from dpde_tpu.sampling import (  # noqa: E402
+    ForwardConditionedSampler,
     JointSampler,
     net_and_dnet_dt,
     net_and_dnet_dt_dummy,
@@ -42,7 +43,7 @@ logging.basicConfig(level=logging.INFO, force=True)
 logger = logging.getLogger("tune_sampler")
 
 
-def make_objective(sampler, view, masks, n_items, seed):
+def make_objective(sampler, view, masks, n_items, seed, kind="mse"):
     """MSE of guided samples vs ground truth (the notebook's objective),
     with two throughput/robustness changes over the reference harness:
     the n_items evaluation items are flattened into ONE device batch
@@ -54,23 +55,40 @@ def make_objective(sampler, view, masks, n_items, seed):
     mask_a, mask_u = masks
     s = sampler.num_samples
     c = sampler.num_channels
+    forward = bool(getattr(sampler, "forward_method", False))
     ch_a = c // 2
     sel = np.linspace(0, min(len(view), 1000) - 1, n_items).astype(int)
     a, u = view.a[sel], view.u[sel]
     labels = view.labels[sel] if view.labels is not None else None
     rep = lambda x: np.repeat(x, s, axis=0) if x is not None else None
-    obs_a, obs_u, lab = rep(a[..., :ch_a]), rep(u[..., :c - ch_a]), \
-        rep(labels)
-    obs = np.concatenate([a, u], axis=-1)
+    if forward:
+        obs_a, obs_u = rep(a), rep(u[..., :c])
+        obs = u[..., :c]
+    else:
+        obs_a, obs_u = rep(a[..., :ch_a]), rep(u[..., :c - ch_a])
+        obs = np.concatenate([a, u], axis=-1)
+    lab = rep(labels)
     h, w = sampler.sample_shape
     latents = np.asarray(jax.random.normal(
         jax.random.PRNGKey(seed), (n_items * s, h, w, c)))
+
+    # per-item per-channel range, the eval normalisation (test_loop)
+    d_range = obs.max(axis=(1, 2)) - obs.min(axis=(1, 2))   # (n_items, C)
 
     def objective(zetas):
         samples, _ = sampler.sample(
             jax.random.PRNGKey(seed), lab, obs_a, obs_u,
             mask_a, mask_u, *zetas, latents=latents)
         smp = np.asarray(samples).reshape(n_items, s, h, w, c)
+        if kind == "rel":
+            # channel-balanced relative error — EXACTLY the quantity the
+            # eval harness reports (per-item MAE over samples / range,
+            # meaned per channel then over channels). The raw-MSE
+            # objective is dominated by the wide-range u channel and
+            # trades a-channel accuracy away (runs_r5 x0 tune #1).
+            mae = np.abs(obs[:, None] - smp).mean(axis=1)   # (n,h,w,c)
+            rel = mae.mean(axis=(1, 2)) / d_range           # (n, c)
+            return float(rel.mean())
         return float(((obs[:, None] - smp) ** 2).mean())
 
     return objective
@@ -92,23 +110,57 @@ def main(cfg):
                                include_t0_as_target=False)
     masks = get_masks_from_config(cfg, rng=np.random.default_rng(seed))
 
+    # serving-path knobs, same surface as test.py (round 5):
+    #   +run.eval_dtype=bfloat16 +run.param_dtype=bfloat16
+    #   +run.guidance_mode=second_eval|x0  +run.llg_full_physics=true
+    if cfg.run.get("eval_dtype"):
+        cfg.model["dtype"] = cfg.run.eval_dtype
+    gmode = cfg.run.get("guidance_mode", "exact") or "exact"
+
     key = jax.random.PRNGKey(seed)
     _, den = init_denoiser(cfg, key, tuple(sc.sample_shape),
                            cfg.dataset.net.in_ch)
     den = den.replace_params(load_pretrained_params(
         resolve_data_path(sc.pretrained_path), den.params))
+    if cfg.run.get("param_dtype") == "bfloat16":
+        import jax.numpy as jnp
+
+        den = den.replace_params(jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, den.params))
 
     if "heat" in dataset_name:
         dx = float(load_attr(resolve_data_path(sc.test_data_path), "dx"))
         loss_fn, kw, oag = pde_losses.heat_loss2, {"dx": dx}, net_and_dnet_dt
+    elif cfg.run.get("llg_full_physics", False):
+        from dpde_tpu.physics import llg as llg_phys
+        from dpde_tpu.physics.demag import DemagKernel
+
+        res, grid = llg_phys.STD4_RES, llg_phys.STD4_GRID
+        kernel = DemagKernel.build(res[0], res[1], grid[0] / res[0],
+                                   grid[1] / res[1], grid[2])
+        loss_fn = pde_losses.llg_residual_loss
+        kw = {"kernel": kernel, "params": llg_phys.LLGParams()}
+        oag = net_and_dnet_dt
     else:
         loss_fn, kw, oag = pde_losses.llg_loss2, {}, net_and_dnet_dt_dummy
 
-    sampler = JointSampler(
-        den, tuple(sc.sample_shape), sc.num_channels, sc.batch_size,
-        ch_a=sc.num_channels // 2, loss_fn=loss_fn, loss_kwargs=kw,
-        num_steps=sc.num_steps, sigma_min=sc.sigma_min,
-        sigma_max=sc.sigma_max, rho=sc.rho, out_and_grad_fn=oag)
+    if cfg.dataset.method.lower() == "forward":
+        import test as test_entry
+
+        inner = ForwardConditionedSampler(
+            den, tuple(sc.sample_shape), sc.num_channels, sc.batch_size,
+            loss_fn=loss_fn, loss_kwargs=kw, num_steps=sc.num_steps,
+            sigma_min=sc.sigma_min, sigma_max=sc.sigma_max, rho=sc.rho,
+            out_and_grad_fn=oag, remat=False)
+        sampler = test_entry._ForwardTestAdapter(inner)
+    else:
+        sampler = JointSampler(
+            den, tuple(sc.sample_shape), sc.num_channels, sc.batch_size,
+            ch_a=sc.num_channels // 2, loss_fn=loss_fn, loss_kwargs=kw,
+            num_steps=sc.num_steps, sigma_min=sc.sigma_min,
+            sigma_max=sc.sigma_max, rho=sc.rho, out_and_grad_fn=oag,
+            remat=False, guidance_mode=gmode)
 
     rng = np.random.default_rng(seed)
     # Log-uniform search box: zeta_a, zeta_u, zeta_pde. Deliberately wider
@@ -125,7 +177,8 @@ def main(cfg):
     lo = np.log(np.asarray([1.0, 0.01, 0.01]))
     hi = np.log(np.asarray([20000.0, 20000.0, 100.0]))
 
-    objective = make_objective(sampler, view, masks, n_items, seed)
+    objective = make_objective(sampler, view, masks, n_items, seed,
+                               kind=str(tune.get("objective", "mse")))
     history = []
     best = (None, np.inf)
     # Seed candidates: the reference's shipped optimum and the r4 probe's
