@@ -74,7 +74,8 @@ def _build_denoiser(jax, jnp, params=None):
     # (the configuration used for the committed 1000-item eval).
     dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "bfloat16")]
-    net = EDMUNet(img_channels=2, label_dim=2, dtype=dtype)
+    net = EDMUNet(img_channels=2, label_dim=2, dtype=dtype,
+                  pallas_gn=os.environ.get("BENCH_PALLAS_GN") == "1")
     if params is None:
         # init on host CPU in ONE jitted program, then one device_put:
         # eager init is ~250 separate dispatches, each paying the

@@ -100,6 +100,26 @@ def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
 
 
+class _PallasGNSiLU(nn.Module):
+    """GroupNorm + SiLU through the fused Pallas kernel
+    (ops/pallas/groupnorm.py). Parameter names/shapes/init match
+    ``nn.GroupNorm`` exactly, so checkpoints are interchangeable with the
+    XLA path."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas.groupnorm import groupnorm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return groupnorm_silu(x, scale, bias, self.num_groups,
+                              self.epsilon)
+
+
 class ResBlock(nn.Module):
     """EDM-style residual block (nets.py:153-211):
     GN -> SiLU -> conv (stride/upsample variants) -> +emb -> GN -> SiLU ->
@@ -116,6 +136,15 @@ class ResBlock(nn.Module):
     skip_scale: float = 2 ** -0.5
     dtype: jnp.dtype | None = None
     train: bool = False
+    pallas_gn: bool = False
+
+    def _gn_silu(self, x, name):
+        if self.pallas_gn:
+            return _PallasGNSiLU(num_groups=_gn_groups(x.shape[-1]),
+                                 name=name)(x)
+        return nn.silu(nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]),
+                                    epsilon=1e-5, dtype=self.dtype,
+                                    name=name)(x))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -123,8 +152,7 @@ class ResBlock(nn.Module):
         in_ch = x.shape[-1]
         dt = self.dtype
         orig = x
-        h = nn.silu(nn.GroupNorm(num_groups=_gn_groups(in_ch),
-                                 epsilon=1e-5, dtype=dt, name="norm1")(x))
+        h = self._gn_silu(x, "norm1")
         if self.up:
             h = nn.ConvTranspose(self.out_ch, (3, 3), strides=(2, 2),
                                  padding="SAME",
@@ -138,8 +166,7 @@ class ResBlock(nn.Module):
         e = nn.Dense(self.out_ch, dtype=dt, name="emb_layer")(emb)
         h = h + e[:, None, None, :]
 
-        h = nn.silu(nn.GroupNorm(num_groups=_gn_groups(self.out_ch),
-                                 epsilon=1e-5, dtype=dt, name="norm2")(h))
+        h = self._gn_silu(h, "norm2")
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = _conv(self.out_ch, 3, zero_init=True, dtype=dt, name="conv2")(h)
@@ -176,6 +203,8 @@ class EDMUNet(nn.Module):
     emb_dim: int = 256
     dtype: jnp.dtype | None = None
     remat: bool = False
+    pallas_gn: bool = False   # fused Pallas GroupNorm+SiLU in ResBlocks
+    # (ops/pallas/groupnorm.py); param pytree identical either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, sigma: jnp.ndarray,
@@ -211,6 +240,10 @@ class EDMUNet(nn.Module):
         # unchanged, so remat and no-remat checkpoints are interchangeable
         RB = (nn.remat(ResBlock, prevent_cse=False) if self.remat
               else ResBlock)
+        if self.pallas_gn:
+            from functools import partial as _partial
+
+            RB = _partial(RB, pallas_gn=True)
 
         # ---------------- encoder ----------------
         skips = []

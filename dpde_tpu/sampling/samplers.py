@@ -157,9 +157,21 @@ class JointSampler:
     #                  of the guidance loss w.r.t. the denoised estimate
     #                  is applied directly (manifold-free approximation).
     #                  Cheapest (~3.9 fwd-eq/step), most approximate.
+    #   "x0c"          "x0" with the cotangent scaled by the denoiser's
+    #                  dominant Jacobian scalar c_skip(sigma) =
+    #                  sd^2/(sigma^2+sd^2): restores the sigma-PROFILE of
+    #                  the exact guidance magnitude that plain x0 loses
+    #                  (a constant is absorbed by the zetas; the profile
+    #                  is not). Same cost as "x0".
+    #   "hybrid"       "x0" for the first 80% of steps (where guidance
+    #                  only needs to steer coarsely), "second_eval" for
+    #                  the precision-critical tail (where the zeta
+    #                  schedule also drops obs weights x0.1).
+    sigma_data: float = 0.5   # for the "x0c" c_skip profile
 
     def __post_init__(self):
-        if self.guidance_mode not in ("exact", "second_eval", "x0"):
+        if self.guidance_mode not in ("exact", "second_eval", "x0", "x0c",
+                                      "hybrid"):
             raise ValueError(
                 f"unknown guidance_mode: {self.guidance_mode!r}")
         self._jit = jax.jit(
@@ -291,32 +303,54 @@ class JointSampler:
                 d_cur + d_prime)
             return x_next - grad_x, losses
 
-        def step_x0(x_carry, inp):
-            # "x0" guidance: cotangent of the loss w.r.t. the denoised
-            # estimate applied directly — zero backwards through the net
-            i, sigma_cur, sigma_next = inp
-            x_n = eval_plain(x_carry, sigma_cur)
-            d_cur = (x_carry - x_n) / sigma_cur
-            x_eul = x_carry + (sigma_next - sigma_cur) * d_cur
-            x_n2, dxdt2 = eval_net(x_eul, sigma_next)
-            d_prime = (x_eul - x_n2) / sigma_next
-            x_next = x_carry + (sigma_next - sigma_cur) * 0.5 * (
-                d_cur + d_prime)
+        def make_step_x0(cskip_profile):
+            def step_x0(x_carry, inp):
+                # "x0" guidance: cotangent of the loss w.r.t. the denoised
+                # estimate applied directly — zero backwards through the
+                # net; "x0c" additionally scales it by c_skip(sigma_next)
+                i, sigma_cur, sigma_next = inp
+                x_n = eval_plain(x_carry, sigma_cur)
+                d_cur = (x_carry - x_n) / sigma_cur
+                x_eul = x_carry + (sigma_next - sigma_cur) * d_cur
+                x_n2, dxdt2 = eval_net(x_eul, sigma_next)
+                d_prime = (x_eul - x_n2) / sigma_next
+                x_next = x_carry + (sigma_next - sigma_cur) * 0.5 * (
+                    d_cur + d_prime)
 
-            def g_loss(xn):
-                loss_comb, losses = guidance(xn, dxdt2, i)
-                return loss_comb, losses
+                def g_loss(xn):
+                    loss_comb, losses = guidance(xn, dxdt2, i)
+                    return loss_comb, losses
 
-            grad_x, losses = jax.grad(g_loss, has_aux=True)(
-                jax.lax.stop_gradient(x_n2))
-            return x_next - grad_x, losses
+                grad_x, losses = jax.grad(g_loss, has_aux=True)(
+                    jax.lax.stop_gradient(x_n2))
+                if cskip_profile:
+                    sd2 = self.sigma_data ** 2
+                    grad_x = grad_x * (sd2 / (sigma_next ** 2 + sd2))
+                return x_next - grad_x, losses
+            return step_x0
 
-        step = {"exact": step_exact, "second_eval": step_second_eval,
-                "x0": step_x0}[self.guidance_mode]
+        steps = {"exact": step_exact, "second_eval": step_second_eval,
+                 "x0": make_step_x0(False), "x0c": make_step_x0(True)}
 
-        idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
-        x, losses = jax.lax.scan(step, x0,
-                                 (idx, sigmas[:-2], sigmas[1:-1]))
+        if self.guidance_mode == "hybrid":
+            # x0 for the coarse first 80% of steps, second_eval for the
+            # precision tail (aligned with the 0.8 zeta-schedule break)
+            split = int(0.8 * num_steps)
+            split = min(max(split, 0), num_steps - 1)
+            idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
+            xs = (idx, sigmas[:-2], sigmas[1:-1])
+            x, losses0 = jax.lax.scan(
+                make_step_x0(False), x0,
+                jax.tree.map(lambda a: a[:split], xs))
+            x, losses1 = jax.lax.scan(
+                step_second_eval, x,
+                jax.tree.map(lambda a: a[split:], xs))
+            losses = jnp.concatenate([losses0, losses1], axis=0)
+        else:
+            step = steps[self.guidance_mode]
+            idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
+            x, losses = jax.lax.scan(step, x0,
+                                     (idx, sigmas[:-2], sigmas[1:-1]))
 
         # final Euler step to sigma = 0 (reference loop i = N-1)
         def final_loss(x_cur):

@@ -82,7 +82,8 @@ class TestJoint:
                              m, m, 1.0, 1.0, 1.0, return_losses=True)
         assert losses.shape == (9, 4)
 
-    @pytest.mark.parametrize("mode", ["second_eval", "x0"])
+    @pytest.mark.parametrize("mode", ["second_eval", "x0", "x0c",
+                                      "hybrid"])
     def test_guidance_modes_run_and_guide(self, tiny_joint_net, mode):
         """The cheap guidance modes (round-5 serving path) must (a) run
         NaN-free, (b) actually steer samples toward the observations

@@ -72,11 +72,12 @@ def main():
                         rng.uniform(0.1, 1.5, (b, 1))], axis=1),
         jnp.float32)
 
+    gmode = os.environ.get("GUIDANCE_MODE", "exact")
     sampler = JointSampler(
         den, (h, w), 2, num_samples, ch_a=1,
         loss_fn=pde_losses.heat_loss2,
         loss_kwargs={"dx": 1.0 / (w - 1)}, num_steps=num_steps,
-        remat=False)
+        remat=False, guidance_mode=gmode)
 
     from dpde_tpu.sampling.karras import karras_sigmas
 
@@ -144,7 +145,7 @@ def main():
     report = {
         "config": {"num_steps": num_steps, "num_samples": num_samples,
                    "items_per_batch": items_per_batch, "batch_rows": b,
-                   "remat": False, "device": str(jax.devices()[0])},
+                   "remat": False, "guidance_mode": gmode, "device": str(jax.devices()[0])},
         "compile_s": round(compile_s, 1),
         "trace_lower_s": round(lower_s, 1),
         "xla_backend_compile_s": round(backend_compile_s, 1),
