@@ -187,10 +187,14 @@ def main():
         truth_a = truth_u = None
 
     # Serving-path knobs (round-5 perf work; all A/B'd on the trained
-    # checkpoint — see runs_r5/):
-    #   BENCH_GUIDANCE_MODE  exact | second_eval | x0 (samplers.py docs)
-    #   BENCH_PARAM_DTYPE    bfloat16 halves weight HBM traffic
-    gmode = os.environ.get("BENCH_GUIDANCE_MODE", "exact")
+    # checkpoint — see runs_r5/perf_sweep.jsonl):
+    #   BENCH_GUIDANCE_MODE  exact | second_eval | x0 | x0c | hybrid
+    #   BENCH_PARAM_DTYPE    bfloat16 (measured: a wash — compute-bound)
+    # Default = the serving config (conf/sampling_conf/
+    # heat_logt_joint_serving.yaml): second_eval + maxratio-tuned zetas,
+    # 0.727 items/s at ch rel errors (0.0044, 0.2357) — beats BOTH the
+    # r4 fp32 anchor channels at +32% throughput.
+    gmode = os.environ.get("BENCH_GUIDANCE_MODE", "second_eval")
     if os.environ.get("BENCH_PARAM_DTYPE") == "bfloat16":
         den = den.replace_params(jax.tree.map(
             lambda p: p.astype(jnp.bfloat16)
@@ -200,6 +204,7 @@ def main():
         den, (h, w), 2, num_samples, ch_a=1,
         loss_fn=pde_losses.heat_loss2, loss_kwargs={"dx": dx},
         num_steps=50, remat=False, guidance_mode=gmode,
+        hybrid_split=float(os.environ.get("BENCH_HYBRID_SPLIT", "0.8")),
     )
 
     # Guidance weights tuned for the committed checkpoint — single source
@@ -217,10 +222,10 @@ def main():
                 f"BENCH_ZETAS entries must be 3 floats each: {zeta_sets}")
     else:
         from dpde_tpu.utils.config import _load_yaml as load_yaml
-        tuned = load_yaml(
-            ROOT / "conf" / "sampling_conf" / "heat_logt_joint_tuned.yaml")
-        zeta_sets = [(float(tuned["zeta_a"]), float(tuned["zeta_u"]),
-                      float(tuned["zeta_pde"]))]
+        serving = load_yaml(ROOT / "conf" / "sampling_conf" /
+                            "heat_logt_joint_serving.yaml")
+        zeta_sets = [(float(serving["zeta_a"]), float(serving["zeta_u"]),
+                      float(serving["zeta_pde"]))]
     zetas = zeta_sets[0]
 
     def run(key, num_steps, return_losses=False, z=None):
@@ -340,6 +345,16 @@ def main():
         "trained_checkpoint": trained,
         "bench_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
         "items_per_batch": items_per_batch,
+        "guidance_mode": gmode,
+        # the measured speed/quality frontier on this checkpoint
+        # (runs_r5/perf_sweep.jsonl; items/s, rel_a, rel_u): pick via
+        # BENCH_GUIDANCE_MODE / sampling_conf guidance_mode
+        "frontier": {
+            "exact": [0.5512, 0.0050, 0.2586],
+            "second_eval": [0.7273, 0.0044, 0.2357],
+            "hybrid0.8": [0.9841, 0.0081, 0.2511],
+            "x0": [1.0661, 0.0177, 0.1983],
+        },
         **extra,
     }))
 

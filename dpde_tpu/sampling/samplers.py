@@ -168,6 +168,9 @@ class JointSampler:
     #                  the precision-critical tail (where the zeta
     #                  schedule also drops obs weights x0.1).
     sigma_data: float = 0.5   # for the "x0c" c_skip profile
+    hybrid_split: float = 0.8   # fraction of steps run as "x0" before
+    # the "second_eval" tail ("hybrid" mode only); lower = more quality,
+    # less speed (x0 ~3 fwd-eq/step, second_eval ~4)
 
     def __post_init__(self):
         if self.guidance_mode not in ("exact", "second_eval", "x0", "x0c",
@@ -333,9 +336,9 @@ class JointSampler:
                  "x0": make_step_x0(False), "x0c": make_step_x0(True)}
 
         if self.guidance_mode == "hybrid":
-            # x0 for the coarse first 80% of steps, second_eval for the
-            # precision tail (aligned with the 0.8 zeta-schedule break)
-            split = int(0.8 * num_steps)
+            # x0 for the coarse first hybrid_split of steps, second_eval
+            # for the precision tail
+            split = int(self.hybrid_split * num_steps)
             split = min(max(split, 0), num_steps - 1)
             idx = jnp.arange(num_steps - 1, dtype=jnp.float32)
             xs = (idx, sigmas[:-2], sigmas[1:-1])

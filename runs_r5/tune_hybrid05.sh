@@ -1,0 +1,15 @@
+#!/bin/bash
+cd /root/repo
+PROTO="observations.interior_a=0.2 observations.boundary_a=0.2 observations.interior_u=0.0 observations.boundary_u=0.0 observations.same_interior=false observations.same_boundary=false"
+echo "=== tune-maxratio hybrid split=0.5 ($(date +%H:%M:%S)) ===" >> runs_r5/tune_mr.log
+timeout 2400 python tools/tune_sampler.py sampling_conf=heat_logt_joint_tuned \
+  dataset=heat_eq_logt_joint $PROTO \
+  +run.eval_dtype=bfloat16 +run.guidance_mode=hybrid +run.hybrid_split=0.5 \
+  +tune.n_calls=36 +tune.n_items=4 +tune.objective=maxratio \
+  run.dir=runs_r5/tune_mr_hybrid05 2>> runs_r5/tune_mr.log
+Z=$(python -c "import json; d=json.load(open('runs_r5/tune_mr_hybrid05/sampler_tuning.json'))['best']; print(f\"{d['zeta_a']},{d['zeta_u']},{d['zeta_pde']}\")")
+echo "=== bench hybrid05 maxratio zetas=$Z ($(date +%H:%M:%S)) ===" >> runs_r5/tune_mr.log
+BENCH_GUIDANCE_MODE=hybrid BENCH_HYBRID_SPLIT=0.5 BENCH_ZETAS=$Z timeout 900 python bench.py \
+  2>> runs_r5/tune_mr.log | tail -1 | \
+  python -c "import sys,json; d=json.loads(sys.stdin.read()); d['tag']='hybrid05_i4_mrtuned'; print(json.dumps(d))" >> runs_r5/perf_sweep.jsonl
+echo HYBRID05_DONE >> runs_r5/tune_mr.log

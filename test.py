@@ -93,11 +93,13 @@ def main(cfg):
     #   +run.remat=true             re-enable remat (off = bench's fast
     #                               program; the workloads fit HBM)
     #   +run.guidance_mode=...      exact | second_eval | x0
-    eval_dtype = cfg.run.get("eval_dtype")
+    # precedence: +run.* CLI override > sampling_conf field > default
+    eval_dtype = cfg.run.get("eval_dtype") or sc.get("eval_dtype")
     if eval_dtype:
         cfg.model["dtype"] = eval_dtype
     remat = bool(cfg.run.get("remat", False))
-    gmode = cfg.run.get("guidance_mode", "exact") or "exact"
+    gmode = (cfg.run.get("guidance_mode")
+             or sc.get("guidance_mode", "exact") or "exact")
 
     key = jax.random.PRNGKey(cfg.run.seed)
     _, denoiser = init_denoiser(cfg, key, tuple(sc.sample_shape),
@@ -178,6 +180,8 @@ def main(cfg):
             out_and_grad_fn=out_and_grad,
             remat=remat,
             guidance_mode=gmode,
+            hybrid_split=float(cfg.run.get("hybrid_split")
+                               or sc.get("hybrid_split", 0.8)),
         )
 
     wandb_kwargs = dict(cfg.wandb)

@@ -80,7 +80,7 @@ def make_objective(sampler, view, masks, n_items, seed, kind="mse"):
             jax.random.PRNGKey(seed), lab, obs_a, obs_u,
             mask_a, mask_u, *zetas, latents=latents)
         smp = np.asarray(samples).reshape(n_items, s, h, w, c)
-        if kind == "rel":
+        if kind in ("rel", "maxratio"):
             # channel-balanced relative error — EXACTLY the quantity the
             # eval harness reports (per-item MAE over samples / range,
             # meaned per channel then over channels). The raw-MSE
@@ -88,6 +88,13 @@ def make_objective(sampler, view, masks, n_items, seed, kind="mse"):
             # trades a-channel accuracy away (runs_r5 x0 tune #1).
             mae = np.abs(obs[:, None] - smp).mean(axis=1)   # (n,h,w,c)
             rel = mae.mean(axis=(1, 2)) / d_range           # (n, c)
+            if kind == "maxratio":
+                # minimise the WORST per-channel ratio to the r4 anchor
+                # (0.0050/0.2589): a value < 1 means every channel beats
+                # the anchor — "within noise" by construction, instead of
+                # trading one channel for the other
+                anchor = np.asarray([0.0050, 0.2589])[: rel.shape[1]]
+                return float((rel.mean(axis=0) / anchor).max())
             return float(rel.mean())
         return float(((obs[:, None] - smp) ** 2).mean())
 
@@ -113,9 +120,11 @@ def main(cfg):
     # serving-path knobs, same surface as test.py (round 5):
     #   +run.eval_dtype=bfloat16 +run.param_dtype=bfloat16
     #   +run.guidance_mode=second_eval|x0  +run.llg_full_physics=true
-    if cfg.run.get("eval_dtype"):
-        cfg.model["dtype"] = cfg.run.eval_dtype
-    gmode = cfg.run.get("guidance_mode", "exact") or "exact"
+    eval_dtype = cfg.run.get("eval_dtype") or sc.get("eval_dtype")
+    if eval_dtype:
+        cfg.model["dtype"] = eval_dtype
+    gmode = (cfg.run.get("guidance_mode")
+             or sc.get("guidance_mode", "exact") or "exact")
 
     key = jax.random.PRNGKey(seed)
     _, den = init_denoiser(cfg, key, tuple(sc.sample_shape),
@@ -160,7 +169,9 @@ def main(cfg):
             ch_a=sc.num_channels // 2, loss_fn=loss_fn, loss_kwargs=kw,
             num_steps=sc.num_steps, sigma_min=sc.sigma_min,
             sigma_max=sc.sigma_max, rho=sc.rho, out_and_grad_fn=oag,
-            remat=False, guidance_mode=gmode)
+            remat=False, guidance_mode=gmode,
+            hybrid_split=float(cfg.run.get("hybrid_split")
+                               or sc.get("hybrid_split", 0.8)))
 
     rng = np.random.default_rng(seed)
     # Log-uniform search box: zeta_a, zeta_u, zeta_pde. Deliberately wider
