@@ -10,7 +10,7 @@ if [ -z "$SKIP_P1" ]; then
   python fine_tune.py dataset=heat_eq_logt_joint model=unetv2 \
       dataset.pretrained_path=pretrained_models/heat_logt_joint/ema_model \
       dataset.training.physics_loss=true dataset.residual_estimation=ME \
-      dataset.training.num_epochs=${PIDM_EPOCHS:-300} \
+      dataset.training.num_epochs=${PIDM_EPOCHS:-200} \
       run.dir=/root/repo/runs_r5/pidm_ft > runs_r5/train_pidm.log 2>&1
 fi
 
@@ -18,7 +18,7 @@ fi
 if [ -z "$SKIP_P2" ]; then
   python fine_tune.py dataset=heat_eq_logt_joint model=unetv2 \
       dataset.pretrained_path=pretrained_models/heat_logt_joint/ema_model \
-      dataset.training.num_epochs=${PIDM_EPOCHS:-300} \
+      dataset.training.num_epochs=${PIDM_EPOCHS:-200} \
       run.dir=/root/repo/runs_r5/vanilla_ft > runs_r5/train_vanilla_ft.log 2>&1
 fi
 
@@ -26,7 +26,7 @@ fi
 # reference ships configs for but never wires into eval)
 if [ -z "$SKIP_P3" ]; then
   python train.py dataset=heat_eq_logt_forward model=unetv2 \
-      dataset.training.num_epochs=${FWD_EPOCHS:-600} \
+      dataset.training.num_epochs=${FWD_EPOCHS:-400} \
       run.dir=/root/repo/runs_r5/fwd_train > runs_r5/train_forward.log 2>&1
 fi
 
