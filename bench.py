@@ -351,7 +351,7 @@ def main():
         # BENCH_GUIDANCE_MODE / sampling_conf guidance_mode
         "frontier": {
             "exact": [0.5512, 0.0050, 0.2586],
-            "second_eval": [0.7273, 0.0044, 0.2357],
+            "second_eval": [0.7557, 0.0047, 0.2370],
             "hybrid0.8": [0.9841, 0.0081, 0.2511],
             "hybrid0.5": [0.8694, 0.0057, 0.2963],
             "x0": [1.0661, 0.0177, 0.1983],

@@ -36,15 +36,27 @@ _VMEM_ELEM_LIMIT = 1 << 21
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, groups: int,
                     eps: float):
+    # Mosaic rejects (HW, G, C/G) shape casts; group reductions go
+    # through a (C, G) one-hot indicator matmul instead (tiny MXU ops,
+    # fully supported layouts).
     x = x_ref[:].astype(jnp.float32)          # (1, H, W, C) block
     _, h, w, c = x.shape
     cg = c // groups
-    xg = x.reshape(h * w, groups, cg)
-    mean = xg.mean(axis=(0, 2))               # (G,)
-    var = (xg * xg).mean(axis=(0, 2)) - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xg - mean[None, :, None]) * rstd[None, :, None]
-    u = (xhat.reshape(h * w, c) * scale_ref[:].astype(jnp.float32)[None]
+    xm = x.reshape(h * w, c)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    member = (ch // cg == gr).astype(jnp.float32)        # (C, G)
+    n = float(h * w * cg)
+    s1 = xm.sum(axis=0, keepdims=True)                   # (1, C)
+    s2 = (xm * xm).sum(axis=0, keepdims=True)
+    g1 = jnp.dot(s1, member, preferred_element_type=jnp.float32)  # (1, G)
+    g2 = jnp.dot(s2, member, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(g1 / n, member.T,
+                     preferred_element_type=jnp.float32)          # (1, C)
+    ex2_c = jnp.dot(g2 / n, member.T,
+                    preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.rsqrt(ex2_c - mean_c * mean_c + eps)
+    u = ((xm - mean_c) * rstd_c * scale_ref[:].astype(jnp.float32)[None]
          + bias_ref[:].astype(jnp.float32)[None])
     y = u * jax.nn.sigmoid(u)
     out_ref[:] = y.reshape(1, h, w, c).astype(out_ref.dtype)
