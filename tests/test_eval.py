@@ -195,3 +195,47 @@ class TestWatchdog:
             capture_output=True, text=True, timeout=60,
             cwd=str(Path(__file__).resolve().parents[1]))
         assert r.returncode == 5
+
+
+class TestTunerObjectives:
+    def test_objective_kinds(self):
+        """rel = eval-harness relative error; maxratio = worst channel
+        ratio vs the r4 anchor (tools/tune_sampler.py round-5)."""
+        import sys
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from tune_sampler import make_objective
+
+        class Fake:
+            sample_shape = (8, 8)
+            num_channels = 2
+            num_samples = 2
+            ch_a = 1
+
+            def sample(self, key, lab, oa, ou, ma, mu, za, zu, zp,
+                       latents=None):
+                # constant offset of za from the truth on ch0 only
+                b = oa.shape[0]
+                out = np.concatenate([oa + float(za), ou], axis=-1)
+                return out, None
+
+        from dpde_tpu.data.datasets import ValidationView
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((4, 1, 8, 8, 3)).astype(np.float32)
+        view = ValidationView(data, np.asarray([0., .5, 1.], np.float32),
+                              np.ones((4, 1), np.float32),
+                              time_as_label=True)
+        m = np.zeros((8, 8), bool)
+        obj_rel = make_objective(Fake(), view, (m, m), 2, 0, kind="rel")
+        obj_mr = make_objective(Fake(), view, (m, m), 2, 0,
+                                kind="maxratio")
+        # zero offset -> perfect ch0; rel/maxratio reflect only ch1=0
+        assert obj_rel((0.0, 0.0, 0.0)) == 0.0
+        assert obj_mr((0.0, 0.0, 0.0)) == 0.0
+        # bigger offset -> strictly worse, and maxratio scales by anchor
+        a1, a2 = obj_mr((0.1, 0, 0)), obj_mr((0.2, 0, 0))
+        assert 0 < a1 < a2
+        r1 = obj_rel((0.1, 0, 0))
+        # rel = mean over channels (ch1 contributes 0) -> rel_a = 2*rel;
+        # maxratio = rel_a / anchor_a
+        assert a1 == pytest.approx(r1 * 2 / 0.0050, rel=1e-5)
