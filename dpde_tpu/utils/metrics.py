@@ -101,18 +101,20 @@ def init(**kwargs) -> Any:
                     config=kwargs.get("config"))
 
 
-def log_model_artifact(run, name: str, paths, metadata: dict | None = None
-                       ) -> None:
-    """Upload the final model/EMA checkpoints as a wandb model artifact
-    (reference training/training_loop.py:133-141). Orbax checkpoints are
-    directories, so ``add_dir`` replaces the reference's ``add_file``.
-    With the JSONL fallback (or a disabled wandb run) the artifact is
-    recorded as a log line carrying the checkpoint paths instead."""
+def log_model_artifact(run, name: str, paths, metadata: dict | None = None,
+                       art_type: str = "model") -> None:
+    """Upload checkpoints (art_type="model", reference
+    training/training_loop.py:133-141) or datasets (art_type="dataset",
+    reference notebooks/wandb_stuff.ipynb final cell) as a wandb
+    artifact. Orbax checkpoints are directories, so ``add_dir`` replaces
+    the reference's ``add_file``. With the JSONL fallback (or a disabled
+    wandb run) the artifact is recorded as a log line carrying the paths
+    instead."""
     paths = [Path(p) for p in paths]
     if _wandb is not None and getattr(run, "log_artifact", None) is not None \
             and not isinstance(run, JsonlRun):
         try:
-            art = _wandb.Artifact(name=name, type="model",
+            art = _wandb.Artifact(name=name, type=art_type,
                                   metadata=metadata or {})
             for p in paths:
                 if p.is_dir():

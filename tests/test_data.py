@@ -1,5 +1,7 @@
 """Dataset iterator + schema tests (reference dataset.py behaviors)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -150,3 +152,64 @@ class TestShardStore:
         st.dir.mkdir(parents=True)
         np.save(st.dir / "shard_0000000.tmp.npy", np.zeros(3))
         assert not st.has(0)
+
+
+class TestModifyDataset:
+    """tools/modify_dataset.py — the reference's modify_datasets.ipynb
+    workflows (llg_test2 stride-4, heat_no_time first/last) as a script."""
+
+    def _write(self, path):
+        import h5py
+
+        rng = np.random.default_rng(0)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("A", data=rng.standard_normal((4, 1, 8, 8)))
+            f.create_dataset(
+                "U", data=rng.standard_normal((4, 1, 8, 8, 9)))
+            f.create_dataset("labels", data=rng.standard_normal((4, 2)))
+            f.create_dataset("t_steps", data=np.linspace(0, 1, 9))
+            f.attrs["T"] = 1.0
+            f.attrs["dx"] = 0.1
+            f.attrs["t_per_step"] = 0.125
+            f.attrs["N"] = 4
+
+    def test_stride_and_first_last(self, tmp_path):
+        import sys
+
+        import h5py
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from modify_dataset import modify
+
+        src = tmp_path / "src.hdf5"
+        self._write(src)
+
+        info = modify(src, tmp_path / "s4.hdf5", stride=4)
+        assert info["shape"][-1] == 3            # steps 0, 4, 8
+        with h5py.File(tmp_path / "s4.hdf5") as f:
+            np.testing.assert_allclose(f["t_steps"][:], [0.0, 0.5, 1.0])
+            assert f.attrs["t_per_step"] == 0.5
+            assert f["A"].shape == (4, 1, 8, 8)
+
+        info = modify(src, tmp_path / "fl.hdf5", first_last=True, n=2)
+        assert info == {"N": 2, "T": 2, "shape": (2, 1, 8, 8, 2)}
+        with h5py.File(tmp_path / "fl.hdf5") as f:
+            assert "t_per_step" not in f.attrs
+            np.testing.assert_allclose(f["t_steps"][:], [0.0, 1.0])
+
+    def test_derived_file_loads_via_io(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from modify_dataset import modify
+
+        from dpde_tpu.data.io import load_data
+
+        src = tmp_path / "src.hdf5"
+        self._write(src)
+        modify(src, tmp_path / "out.hdf5", stride=2)
+        raw = load_data(tmp_path / "out.hdf5")
+        assert raw.u.shape == (4, 1, 8, 8, 5)
+        assert raw.t_steps.shape == (5,)
