@@ -275,15 +275,25 @@ def main():
         extra[f"ref_loss_pde_{num_steps}"] = REF_LOSS_PDE.get(num_steps)
 
         if num_steps == 50:
-            reps = 3
-            t0 = time.perf_counter()
+            # per-rep timing with a readback fence (block_until_ready on
+            # axon AOT outputs is dispatch-only): median-of-5 plus spread
+            # so the headline carries its own variance (VERDICT r4 weak 7)
+            reps = int(os.environ.get("BENCH_REPS", "5"))
+            per_rep = []
             for i in range(reps):
+                t0 = time.perf_counter()
                 out, _ = run(jax.random.PRNGKey(2 + i), 50)
-            out.block_until_ready()
-            elapsed = time.perf_counter() - t0
-            items_per_s = reps * items_per_batch / elapsed
-            print(f"{reps * items_per_batch} items in {elapsed:.2f}s on "
-                  f"{jax.devices()[0]}", file=sys.stderr)
+                np.asarray(out[0, 0, 0, :])          # fence
+                per_rep.append(time.perf_counter() - t0)
+            per_rep_rate = [items_per_batch / t for t in per_rep]
+            items_per_s = float(np.median(per_rep_rate))
+            extra["items_per_s_min"] = round(min(per_rep_rate), 4)
+            extra["items_per_s_max"] = round(max(per_rep_rate), 4)
+            extra["timing_reps"] = reps
+            print(f"{reps * items_per_batch} items in {sum(per_rep):.2f}s "
+                  f"on {jax.devices()[0]} "
+                  f"(median {items_per_s:.4f}, min {min(per_rep_rate):.4f},"
+                  f" max {max(per_rep_rate):.4f} items/s)", file=sys.stderr)
 
             if trained:
                 # test_loop metric: per-item mean-over-samples MAE divided
